@@ -128,22 +128,24 @@ class VoxelGrid:
         TPU-friendly formulation (adds broadcast over a 3-D lattice instead of
         per-voxel mat4 products as in ``CudaReconstruction.cu:163-176``).
         """
+        t = np.dtype(dtype).type
         cx, cy, cz = self.cell_dims
         ox, oy, oz = self.origin
         sx, sy, sz = self.spacing
-        xs = ox + (np.arange(cx, dtype=dtype) + dtype(0.5)) * dtype(sx)
-        ys = oy + (np.arange(cy, dtype=dtype) + dtype(0.5)) * dtype(sy)
-        zs = oz + (np.arange(cz, dtype=dtype) + dtype(0.5)) * dtype(sz)
+        xs = t(ox) + (np.arange(cx, dtype=t) + t(0.5)) * t(sx)
+        ys = t(oy) + (np.arange(cy, dtype=t) + t(0.5)) * t(sy)
+        zs = t(oz) + (np.arange(cz, dtype=t) + t(0.5)) * t(sz)
         return xs, ys, zs
 
     def point_axes(self, dtype=np.float64):
         """Per-axis 1-D arrays of grid *point* coordinates in the grid frame."""
+        t = np.dtype(dtype).type
         nx, ny, nz = self.dims
         ox, oy, oz = self.origin
         sx, sy, sz = self.spacing
-        xs = ox + np.arange(nx, dtype=dtype) * dtype(sx)
-        ys = oy + np.arange(ny, dtype=dtype) * dtype(sy)
-        zs = oz + np.arange(nz, dtype=dtype) * dtype(sz)
+        xs = t(ox) + np.arange(nx, dtype=t) * t(sx)
+        ys = t(oy) + np.arange(ny, dtype=t) * t(sy)
+        zs = t(oz) + np.arange(nz, dtype=t) * t(sz)
         return xs, ys, zs
 
     def cell_centers_world(self, dtype=np.float64) -> np.ndarray:

@@ -13,3 +13,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: this box has 4 CPUs, so XLA compiles dominate
+# test wall time; cache them across pytest processes.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
