@@ -143,13 +143,14 @@ def colorize_mesh(
     views: list[DepthMapView],
     chunk: int = 1 << 16,
     z_test: bool = False,
+    dtype=np.float32,
 ) -> PolyData:
     """Attach MeanColoration / MedianColoration / NbProjectedDepthMap arrays
     (names per ``MeshColoration.cxx:113-133``) to a copy of `mesh`."""
     out = PolyData(mesh.points.copy(), mesh.triangles.copy())
     out.point_data = dict(mesh.point_data)
     mean_u8, med_u8, counts = colorize_points(
-        mesh.points, views, chunk=chunk, z_test=z_test
+        mesh.points, views, chunk=chunk, z_test=z_test, dtype=dtype
     )
     out.point_data["MeanColoration"] = mean_u8
     out.point_data["MedianColoration"] = med_u8

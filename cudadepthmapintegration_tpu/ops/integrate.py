@@ -140,13 +140,15 @@ def _integrate_batched(
 
     def chunk(vol, args):
         ctx, cty, ctz, ctc, cdepths = args
-        total = vol
-        for b in range(view_batch):
-            total = total + _view_contribution(
-                ctx[b], cty[b], ctz[b], ctc[b], cdepths[b],
-                h, w, thick, rho, eta, delta,
+        # vmap (not an unrolled python loop) keeps the HLO one-view-sized; the
+        # sum over the batch axis is an input-fused reduction in XLA, so the
+        # volume read-modify-write still happens once per chunk.
+        contribs = jax.vmap(
+            lambda a, b_, c, d, e: _view_contribution(
+                a, b_, c, d, e, h, w, thick, rho, eta, delta
             )
-        return total, None
+        )(ctx, cty, ctz, ctc, cdepths)
+        return vol + contribs.sum(axis=0), None
 
     reshape = lambda a: a.reshape((n_chunks, view_batch) + a.shape[1:])
     volume, _ = jax.lax.scan(
