@@ -1,0 +1,470 @@
+"""Pallas TPU kernel for TSDF depth-map integration.
+
+Why a kernel at all: the integrate op is gather-bound — each voxel reads
+``depth[round(v), round(u)]`` at a data-dependent pixel. XLA's TPU gather
+lowers to a serialized loop (~0.1 G elem/s measured on v5e); Mosaic's
+``tpu.dynamic_gather`` (same-shape 2-D ``take_along_axis``) runs >10 G elem/s.
+This kernel restructures the reference CUDA hot loop
+(``Reconstruction/CudaReconstruction.cu:158-212``) around that primitive.
+
+Design (TPU-first, not a CUDA translation):
+
+* **Grid** ``(cz, V)`` — z-slice outer, view inner. The volume z-slab block
+  stays resident in VMEM across all V views (output-accumulation pattern), so
+  volume HBM traffic is 8 bytes/voxel per whole *view sweep*, not per view —
+  the loop-nest inversion called out in SURVEY.md section 7.4.
+* **Projection math is separable** (see ``ops/integrate.py``): per-axis
+  tables combined with broadcasted VPU adds; no per-voxel mat4 products.
+* **Two-tier exact gather.** Per (8, 128) voxel subtile the projected pixel
+  footprint is measured with two vector reductions. The common case (compact
+  footprint) is served by a *statically unrolled* ``n_wr x n_wc`` grid of
+  aligned (8, 128) windows — measured on v5e, `lax.while_loop` window-walking
+  costs ~3x the gathers themselves, so static unrolling wins. The rare case
+  (deep/grazing subtiles whose footprint exceeds the static grid) falls back
+  to a while-loop window walk under ``lax.cond``. Both tiers lane-gather each
+  window row (``dynamic_gather``) and combine by row-match select — exact for
+  arbitrary geometry, no retry needed.
+* **Orientation grouping** (wrapper): a subtile's image-v span is
+  ``~128*|dv/d(lane axis)|``, which explodes when the lane axis parallels the
+  camera's viewing direction. :func:`integrate_views_oriented` groups views
+  by the volume-axis permutation that aligns lanes with the image-u
+  direction and transposes the volume per group (one HBM round trip,
+  amortized over the group's views).
+
+Parity: identical piecewise ray potential, half-away-from-zero rounding,
+``hom.z < 0`` rejection, bounds tests, and the -1 invalid-depth sentinel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "OrientedFusionPlan",
+    "pallas_integrate",
+    "integrate_views_oriented",
+    "pad_volume",
+    "unpad_volume",
+    "best_axis_permutation",
+    "group_views_by_orientation",
+]
+
+# Set True (before first use) to run kernels in the Pallas interpreter
+# (CPU testing without TPU hardware).
+INTERPRET = False
+
+
+def _round_half_away(x):
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+def _window_pass(depth, rs, cs, ui, vi, sel, d):
+    """Gather one aligned (8, 128) window: 8 lane-gathers + row selects."""
+    win = depth[pl.ds(rs, 8), pl.ds(cs, 128)]
+    u_loc = jnp.clip(ui - cs, 0, 127)
+    in_cols = (ui >= cs) & (ui < cs + 128)
+    sel_c = sel & in_cols
+    for rr in range(8):
+        rowv = jnp.broadcast_to(win[rr][None, :], (8, 128))
+        g = jnp.take_along_axis(rowv, u_loc, axis=1)
+        d = jnp.where(sel_c & (vi == rs + rr), g, d)
+    return d
+
+
+def _integrate_kernel(
+    tx_ref, ty_ref, tz_ref, tc_ref, depth_ref, vol_ref, out_ref,
+    *, h, w, hp, wp, cy, cx, n_wr, n_wc, thick, rho, eta, delta,
+):
+    # h/w: REAL image dims (bounds tests); hp/wp: padded depth-block dims.
+    view = pl.program_id(1)
+
+    @pl.when(view == 0)
+    def _():
+        out_ref[:] = vol_ref[:]
+
+    tx = tx_ref[0]  # (4, cx)
+    depth = depth_ref.at[0]  # (hp, wp) ref view for dynamic windows
+
+    # Per-row constants for this z-slice: tz[r] + tc[r] (SMEM scalars; tz is
+    # laid out (cz, V, 4) so the k-block is (1, V, 4)).
+    zc0 = tz_ref[0, view, 0] + tc_ref[view, 0]
+    zc1 = tz_ref[0, view, 1] + tc_ref[view, 1]
+    zc2 = tz_ref[0, view, 2] + tc_ref[view, 2]
+    zc3 = tz_ref[0, view, 3] + tc_ref[view, 3]
+
+    big = jnp.int32(1 << 30)
+
+    def jt_body(jt, _):
+        # ty is laid out (V, cy, 4): sublane-dim slicing stays 8-aligned.
+        tys = ty_ref[0, pl.ds(jt * 8, 8), :]  # (8, 4)
+        for it in range(cx // 128):
+            txs = tx[:, it * 128 : (it + 1) * 128]  # (4, 128)
+            h0 = tys[:, 0:1] + (txs[0][None, :] + zc0)
+            h1 = tys[:, 1:2] + (txs[1][None, :] + zc1)
+            h2 = tys[:, 2:3] + (txs[2][None, :] + zc2)
+            zcam = tys[:, 3:4] + (txs[3][None, :] + zc3)
+            u = _round_half_away(h0 / h2)
+            v = _round_half_away(h1 / h2)
+            valid = (h2 >= 0) & (u >= 0) & (v >= 0) & (u < w) & (v < h)
+            ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
+            vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
+
+            # Footprint bbox -> aligned window-grid origin (clamped so the
+            # static grid stays inside the padded image).
+            v_lo = jnp.min(jnp.where(valid, vi, big))
+            u_lo = jnp.min(jnp.where(valid, ui, big))
+            v_hi = jnp.max(jnp.where(valid, vi, -1))
+            u_hi = jnp.max(jnp.where(valid, ui, -1))
+            # Static (n_wr, n_wc) aligned window grid anchored at the
+            # footprint minimum covers the common case branch-free. The
+            # remainder (an L-shape: rows below the grid across the full
+            # column span, plus columns right of the grid within the grid's
+            # rows) is covered by while-loops that execute ZERO iterations
+            # when the footprint fits — `lax.cond` tiering measured ~2x
+            # slower than this branchless structure on v5e.
+            v0 = jnp.clip((v_lo // 8) * 8, 0, hp - 8 * n_wr)
+            u0 = jnp.clip((u_lo // 128) * 128, 0, wp - 128 * n_wc)
+            d = jnp.zeros(valid.shape, jnp.float32)
+            for wr in range(n_wr):
+                for wc in range(n_wc):
+                    rs = pl.multiple_of(v0 + 8 * wr, 8)
+                    cs = pl.multiple_of(u0 + 128 * wc, 128)
+                    d = _window_pass(depth, rs, cs, ui, vi, valid, d)
+
+            # Remainder B: columns right of the grid, within the grid's rows.
+            for wr in range(n_wr):
+                rs = pl.multiple_of(v0 + 8 * wr, 8)
+
+                def colb_cond(cc):
+                    return cc[0] <= u_hi
+
+                def colb_body(cc, rs=rs):
+                    cs, cacc = cc
+                    cacc = _window_pass(
+                        depth, rs, pl.multiple_of(cs, 128), ui, vi, valid, cacc
+                    )
+                    return cs + 128, cacc
+
+                _, d = jax.lax.while_loop(
+                    colb_cond, colb_body, (u0 + 128 * n_wc, d)
+                )
+
+            # Remainder A: rows below the grid, across the full column span.
+            def rowa_cond(c):
+                return c[0] <= v_hi
+
+            def rowa_body(c):
+                rs, acc = c
+
+                def cola_cond(cc):
+                    return cc[0] <= u_hi
+
+                def cola_body(cc):
+                    cs, cacc = cc
+                    cacc = _window_pass(
+                        depth,
+                        pl.multiple_of(rs, 8),
+                        pl.multiple_of(cs, 128),
+                        ui, vi, valid, cacc,
+                    )
+                    return cs + 128, cacc
+
+                _, acc = jax.lax.while_loop(cola_cond, cola_body, (u0, acc))
+                return rs + 8, acc
+
+            _, d = jax.lax.while_loop(rowa_cond, rowa_body, (v0 + 8 * n_wr, d))
+
+            valid &= d != -1.0
+            # Ray potential (CudaReconstruction.cu:104-120).
+            diff = zcam - d
+            a = jnp.abs(diff)
+            far = jnp.where(diff > 0, 0.0, -eta * rho)
+            shell = rho * jnp.sign(diff)
+            ramp = (rho / thick) * diff
+            val = jnp.where(a > delta, far, jnp.where(a > thick, shell, ramp))
+            contrib = jnp.where(valid, val, 0.0)
+            sl = (0, pl.ds(jt * 8, 8), pl.ds(it * 128, 128))
+            out_ref[sl] += contrib
+        return 0
+
+    jax.lax.fori_loop(0, cy // 8, jt_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w", "n_wr", "n_wc", "thick", "rho", "eta", "delta"),
+    donate_argnames=("volume",),
+)
+def _pallas_integrate_padded(
+    volume, tx, ty, tz, tc, depths, *, h, w, n_wr, n_wc, thick, rho, eta, delta
+):
+    cz, cy, cx = volume.shape
+    nviews, hp, wp = depths.shape
+    kernel = functools.partial(
+        _integrate_kernel,
+        h=h, w=w, hp=hp, wp=wp, cy=cy, cx=cx, n_wr=n_wr, n_wc=n_wc,
+        thick=thick, rho=rho, eta=eta, delta=delta,
+    )
+    flops_per_upd = 40
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((cz, cy, cx), jnp.float32),
+        grid=(cz, nviews),
+        in_specs=[
+            pl.BlockSpec((1, 4, cx), lambda k, v: (v, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cy, 4), lambda k, v: (v, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nviews, 4), lambda k, v: (k, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nviews, 4), lambda k, v: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, hp, wp), lambda k, v: (v, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cy, cx), lambda k, v: (k, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cy, cx), lambda k, v: (k, 0, 0), memory_space=pltpu.VMEM
+        ),
+        input_output_aliases={5: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_upd * cz * cy * cx * nviews,
+            bytes_accessed=4 * cz * cy * cx * 2 + 4 * nviews * hp * wp,
+            transcendentals=0,
+        ),
+        interpret=INTERPRET,
+    )(tx, ty, tz, tc, depths, volume)
+
+
+def pad_volume(volume: np.ndarray) -> tuple[np.ndarray, tuple[int, int, int]]:
+    """Pad (cz, cy, cx) so cy % 8 == 0 and cx % 128 == 0."""
+    cz, cy, cx = volume.shape
+    py = (-cy) % 8
+    px = (-cx) % 128
+    if py or px:
+        volume = np.pad(volume, ((0, 0), (0, py), (0, px)))
+    return volume, (cz, cy, cx)
+
+
+def unpad_volume(volume, orig_shape):
+    cz, cy, cx = orig_shape
+    return volume[:cz, :cy, :cx]
+
+
+def pallas_integrate(
+    volume,  # (cz, cy, cx) f32 device/host array (cy%8==0, cx%128==0)
+    tables_tx,  # (V, 4, cx) f32
+    tables_ty,  # (V, 4, cy) f32
+    tables_tz,  # (V, 4, cz) f32
+    tables_tc,  # (V, 4) f32
+    depths,  # (V, h, w) f32; -1 = invalid sentinel
+    thick: float, rho: float, eta: float, delta: float,
+    windows: tuple[int, int] = (2, 2),
+):
+    """Fuse all views into `volume` (returns the updated volume).
+
+    Depth maps are padded to (8, 128) multiples with the -1 invalid sentinel;
+    bounds tests inside the kernel use the REAL h/w, so padding never
+    contributes. Subtiles whose footprint exceeds the static `windows` grid
+    take the exact while-walk fallback — results never depend on `windows`,
+    only speed does.
+    """
+    h, w = int(depths.shape[1]), int(depths.shape[2])
+    ph, pw = (-h) % 8, (-w) % 128
+    if ph or pw:
+        depths = np.pad(
+            np.asarray(depths), ((0, 0), (0, ph), (0, pw)), constant_values=-1.0
+        )
+    hp, wp = h + ph, w + pw
+    n_wr = min(windows[0], hp // 8)
+    n_wc = min(windows[1], wp // 128)
+    # tz transposed to (cz, V, 4) (k-indexed SMEM block); ty to (V, cy, 4)
+    # (sublane-aligned jt slicing in the kernel).
+    tz_kv = jnp.transpose(jnp.asarray(tables_tz), (2, 0, 1))
+    ty_vc = jnp.transpose(jnp.asarray(tables_ty), (0, 2, 1))
+    return _pallas_integrate_padded(
+        jnp.asarray(volume, jnp.float32),
+        jnp.asarray(tables_tx), ty_vc, tz_kv, jnp.asarray(tables_tc),
+        jnp.asarray(depths),
+        h=h, w=w, n_wr=n_wr, n_wc=n_wc,
+        thick=float(thick), rho=float(rho),
+        eta=float(eta), delta=float(delta),
+    )
+
+
+# ---------------------------------------------------------------------------
+# View-orientation grouping
+# ---------------------------------------------------------------------------
+
+
+def best_axis_permutation(rot_grid: np.ndarray) -> tuple[int, int, int]:
+    """Pick (k_axis, sublane_axis, lane_axis) grid-frame axes for one view.
+
+    `rot_grid` is the 3x3 rotation part of RT @ grid_matrix. Row 0 is the
+    image-u direction, row 2 the viewing direction (camera-frame axes
+    expressed in grid coordinates). Scores all 6 permutations: the lane axis
+    should track image-u (keeps u-spans ~128) and the sublane axis the
+    viewing direction (keeps perspective-induced v-drift off the lanes).
+    """
+    u_dir = np.abs(rot_grid[0])
+    view_dir = np.abs(rot_grid[2])
+    best, best_score = None, -1.0
+    for lane in range(3):
+        for sub in range(3):
+            if sub == lane:
+                continue
+            k = 3 - lane - sub
+            score = u_dir[lane] + view_dir[sub]
+            if score > best_score:
+                best_score, best = score, (k, sub, lane)
+    return best
+
+
+def group_views_by_orientation(rotations: list[np.ndarray]):
+    """Group view indices by their best axis permutation.
+
+    Returns {(k_axis, sublane_axis, lane_axis): [view indices]}.
+    """
+    groups: dict[tuple[int, int, int], list[int]] = {}
+    for i, rot in enumerate(rotations):
+        perm = best_axis_permutation(rot)
+        groups.setdefault(perm, []).append(i)
+    return groups
+
+
+def _pad_table_invalid(tab: np.ndarray, n_new: int) -> np.ndarray:
+    """Pad a (G, 4, n) per-axis table along n. Padded entries poison row 2
+    (the homogeneous-z functional) with -1e9, so padded voxels always fail
+    the ``hom.z >= 0`` test and never contribute or affect window bounds."""
+    g, _, n = tab.shape
+    if n_new == n:
+        return tab
+    pad = np.zeros((g, 4, n_new - n), np.float32)
+    pad[:, 2, :] = -1e9
+    return np.concatenate([tab, pad], axis=2)
+
+
+def _pad_views_invalid(tx, ty, tz, tc, depths, g_new: int):
+    """Pad the view axis to `g_new` with dummy views whose tc row 2 is -1e9
+    (every voxel invalid), bounding the number of jit shape variants."""
+    g = tx.shape[0]
+    if g_new == g:
+        return tx, ty, tz, tc, depths
+    e = g_new - g
+
+    def padv(a):
+        return np.concatenate([a, np.zeros((e,) + a.shape[1:], a.dtype)], axis=0)
+
+    tc_pad = np.zeros((e, 4), np.float32)
+    tc_pad[:, 2] = -1e9
+    return (
+        padv(np.asarray(tx)), padv(np.asarray(ty)), padv(np.asarray(tz)),
+        np.concatenate([np.asarray(tc), tc_pad], axis=0),
+        np.concatenate(
+            [np.asarray(depths), np.full((e,) + depths.shape[1:], -1.0, depths.dtype)],
+            axis=0,
+        ),
+    )
+
+
+class OrientedFusionPlan:
+    """Pre-staged, orientation-grouped fusion work for one batch of views.
+
+    Splits staging (host table/depth prep + device upload — done ONCE per
+    batch of views) from execution (the per-group Pallas calls — can run many
+    times, e.g. for benchmarking or replays). Groups are padded to a multiple
+    of `view_pad_multiple` dummy views to bound jit shape variants.
+    """
+
+    def __init__(
+        self,
+        grid,
+        views,
+        params,
+        threshold_best_cost: float | None = None,
+        view_pad_multiple: int = 8,
+    ):
+        from ..ops.integrate import projection_tables
+
+        if threshold_best_cost is not None:
+            views = [v.thresholded(threshold_best_cost) for v in views]
+        self.params = params
+        tables = projection_tables(grid, views, np.float32)
+        axis_tables = {0: tables.tx, 1: tables.ty, 2: tables.tz}
+        rots = [(v.camera.rt @ grid.matrix)[:3, :3] for v in views]
+        groups = group_views_by_orientation(rots)
+        depths_all = np.stack([v.depth for v in views]).astype(np.float32)
+
+        cz, cy, cx = grid.volume_shape
+        self.groups = []
+        for perm, idxs in sorted(groups.items()):
+            k_ax, s_ax, l_ax = perm
+            order = (2 - k_ax, 2 - s_ax, 2 - l_ax)
+            inv = tuple(int(a) for a in np.argsort(order))
+            dims_p = [(cz, cy, cx)[o] for o in order]
+            czp, cyp, cxp = dims_p
+            py, px = (-cyp) % 8, (-cxp) % 128
+            sel = np.asarray(idxs)
+            g_new = -(-len(sel) // view_pad_multiple) * view_pad_multiple
+            tx, ty, tz, tc, depths = _pad_views_invalid(
+                _pad_table_invalid(axis_tables[l_ax][sel], cxp + px),
+                _pad_table_invalid(axis_tables[s_ax][sel], cyp + py),
+                axis_tables[k_ax][sel],
+                tables.tc[sel],
+                depths_all[sel],
+                g_new,
+            )
+            self.groups.append(
+                dict(
+                    order=order,
+                    inv=inv,
+                    pad=(py, px),
+                    cyp=cyp,
+                    cxp=cxp,
+                    tx=jnp.asarray(tx),
+                    ty=jnp.asarray(ty),
+                    tz=jnp.asarray(tz),
+                    tc=jnp.asarray(tc),
+                    depths=jnp.asarray(depths),
+                )
+            )
+
+    def run(self, volume_zyx, windows: tuple[int, int] = (2, 2)):
+        """Fuse the planned views into (cz, cy, cx) `volume_zyx` (device)."""
+        p = self.params
+        vol = jnp.asarray(volume_zyx, jnp.float32)
+        for g in self.groups:
+            volp = jnp.transpose(vol, g["order"])
+            py, px = g["pad"]
+            if py or px:
+                volp = jnp.pad(volp, ((0, 0), (0, py), (0, px)))
+            out = pallas_integrate(
+                volp, g["tx"], g["ty"], g["tz"], g["tc"], g["depths"],
+                p.thick, p.rho, p.eta, p.delta,
+                windows=windows,
+            )
+            vol = jnp.transpose(out[:, : g["cyp"], : g["cxp"]], g["inv"])
+        return vol
+
+
+def integrate_views_oriented(
+    volume_zyx,
+    grid,
+    views,
+    params,
+    threshold_best_cost: float | None = None,
+    windows: tuple[int, int] = (2, 2),
+    view_pad_multiple: int = 8,
+):
+    """High-level Pallas fusion: orientation-grouped, per-subtile adaptive.
+
+    volume_zyx: (cz, cy, cx) array (canonical z, y, x layout, unpadded).
+    Returns the updated (cz, cy, cx) jax array.
+    """
+    plan = OrientedFusionPlan(
+        grid, views, params,
+        threshold_best_cost=threshold_best_cost,
+        view_pad_multiple=view_pad_multiple,
+    )
+    return plan.run(volume_zyx, windows=windows)
