@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "float64"],
                    help="Fusion compute dtype (default float32)")
+    p.add_argument("--backend", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="Integrator backend: xla (portable) or pallas "
+                        "(TPU kernel fast path; float32 only)")
     p.add_argument("--viewBatch", type=int, default=8,
                    help="Views fused per volume pass (default 8)")
     p.add_argument("--streamBatch", type=int, default=32,
@@ -147,6 +151,7 @@ def main(argv: list[str] | None = None) -> int:
         contour_value=args.contour,
         force_cubic_voxel=args.forceCubicVoxel,
         dtype=args.dtype,
+        backend=args.backend,
         view_batch=args.viewBatch,
         stream_batch=args.streamBatch,
         write_mha_path=args.mhaPath or None,

@@ -171,12 +171,20 @@ class TSDFIntegrator:
         dtype=jnp.float32,
         view_batch: int = 8,
         device=None,
+        backend: str = "xla",
     ):
+        """backend: 'xla' (portable, any dtype) or 'pallas' (TPU kernel,
+        float32; ~13x faster on v5e — see kernels/integrate_pallas.py)."""
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend == "pallas" and np.dtype(dtype) != np.float32:
+            raise ValueError("pallas backend requires float32")
         self.grid = grid
         self.params = params
         self.dtype = dtype
         self.view_batch = int(view_batch)
         self.device = device
+        self.backend = backend
         self.volume = None  # lazily initialized device array (cz, cy, cx)
         self.views_fused = 0
 
@@ -209,6 +217,14 @@ class TSDFIntegrator:
                     f"depth map {view.name!r} has shape {view.depth.shape}, "
                     f"expected {(h, w)}"
                 )
+        if self.backend == "pallas":
+            from ..kernels.integrate_pallas import integrate_views_oriented
+
+            self.volume = integrate_views_oriented(
+                self.volume, self.grid, views, self.params
+            )
+            self.views_fused += len(views)
+            return self
         tables = projection_tables(self.grid, views, np.dtype(self.dtype))
         depths = np.stack([v.depth for v in views]).astype(self.dtype)
         self.volume = _integrate_batched(

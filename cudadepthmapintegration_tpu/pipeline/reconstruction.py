@@ -58,6 +58,7 @@ class ReconstructionConfig:
     contour_value: float = 1.0
     force_cubic_voxel: bool = False
     dtype: str = "float32"
+    backend: str = "xla"  # 'xla' or 'pallas' (TPU kernel fast path)
     view_batch: int = 8
     stream_batch: int = 32  # views loaded/staged per host->device transfer
     write_mha_path: str | None = "meta_image_volume.mha"
@@ -157,6 +158,7 @@ class ReconstructionPipeline:
             params,
             dtype=np.dtype(cfg.dtype),
             view_batch=cfg.view_batch,
+            backend=cfg.backend,
         ).reset(initial)
 
         t0 = time.perf_counter()

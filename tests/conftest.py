@@ -3,7 +3,9 @@ logic runs without TPU hardware (the standard JAX testing pattern)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force override: the environment may pin JAX_PLATFORMS to a TPU plugin, but
+# tests must run on the virtual 8-device CPU platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# jax reads JAX_PLATFORMS at import time, and the interpreter's sitecustomize
+# may import jax (TPU plugin registration) before this conftest runs — so the
+# env var alone is not enough; update the live config too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: this box has 4 CPUs, so XLA compiles dominate
 # test wall time; cache them across pytest processes.
