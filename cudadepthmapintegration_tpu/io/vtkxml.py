@@ -113,12 +113,20 @@ def parse_vtk_xml(path: str) -> tuple[ET.Element, _FileContext]:
 def _decompress_blocks(buf: bytes, header_dtype) -> bytes:
     """Decode VTK's compressed block stream: header ints
     [nblocks, block_size, last_block_size, csize_0..csize_{n-1}] followed by
-    the concatenated zlib blocks."""
+    the concatenated zlib blocks. Uses the native codec when available."""
     itemsize = np.dtype(header_dtype).itemsize
     nblocks = int(np.frombuffer(buf[:itemsize], dtype=header_dtype)[0])
     header_len = (3 + nblocks) * itemsize
     header = np.frombuffer(buf[:header_len], dtype=header_dtype)
+    block_size, last_block = int(header[1]), int(header[2])
     csizes = header[3:]
+    from .. import native
+
+    if native.available() and nblocks > 0:
+        total = block_size * (nblocks - 1) + last_block
+        return native.zlib_decode_blocks(
+            buf[header_len:], csizes.astype(np.int64), total
+        )
     out = []
     off = header_len
     for cs in csizes:

@@ -140,6 +140,30 @@ def _pad_to(n: int, minimum: int = 512) -> int:
     return max(minimum, 1 << (n - 1).bit_length())
 
 
+def _weld_triangle_soup(
+    used_verts: np.ndarray,  # (M, 3) vertex positions, 3 per triangle
+    used_keys: np.ndarray,  # (M,) canonical edge ids
+    matrix: np.ndarray | None,
+) -> PolyData:
+    """Merge duplicate vertices by exact integer edge identity (each MC
+    vertex lies on one grid edge), then drop degenerate triangles — matching
+    vtkContourFilter's merged-points output without float tolerances."""
+    uniq, inverse = np.unique(used_keys, return_inverse=True)
+    points = np.zeros((uniq.shape[0], 3), dtype=used_verts.dtype)
+    points[inverse] = used_verts  # same key -> same position (exact math)
+    triangles = inverse.reshape(-1, 3).astype(np.int64)
+    ok = (
+        (triangles[:, 0] != triangles[:, 1])
+        & (triangles[:, 1] != triangles[:, 2])
+        & (triangles[:, 0] != triangles[:, 2])
+    )
+    triangles = triangles[ok]
+    if matrix is not None:
+        m = np.asarray(matrix, dtype=np.float64)
+        points = points @ m[:3, :3].T + m[:3, 3]
+    return PolyData(points, triangles)
+
+
 def marching_cubes(
     point_volume: np.ndarray | jax.Array,
     iso: float,
@@ -147,13 +171,23 @@ def marching_cubes(
     ys: np.ndarray,
     zs: np.ndarray,
     matrix: np.ndarray | None = None,
+    backend: str = "jax",
 ) -> PolyData:
     """Extract the `iso` isosurface of a (nz, ny, nx) point-scalar volume.
 
     ``xs/ys/zs`` are the per-axis point coordinates (grid frame); ``matrix``
     (4x4) is applied to the output vertices, mirroring the transform filter at
-    ``Reconstruction/main.cxx:176-189``.
+    ``Reconstruction/main.cxx:176-189``. ``backend``: 'jax' (two-phase
+    device extraction) or 'native' (C++ table walker — host path).
     """
+    if backend == "native":
+        from .. import native
+
+        pv_np = np.asarray(point_volume, np.float64)
+        verts, keys = native.marching_cubes_f64(pv_np, iso, xs, ys, zs)
+        return _weld_triangle_soup(
+            verts.reshape(-1, 3), keys.reshape(-1), matrix
+        )
     pv = jnp.asarray(point_volume)
     nz, ny, nx = pv.shape
     cfg = np.asarray(_cube_config(pv, jnp.asarray(iso, pv.dtype)))
@@ -189,26 +223,9 @@ def marching_cubes(
     flat_keys = keys.reshape(-1)
     flat_verts = verts.reshape(-1, 3)
     flat_valid = valid.reshape(-1)
-    used_keys = flat_keys[flat_valid]
-    used_verts = flat_verts[flat_valid]
-    # Weld: one output vertex per unique canonical edge.
-    uniq, inverse = np.unique(used_keys, return_inverse=True)
-    points = np.zeros((uniq.shape[0], 3), dtype=flat_verts.dtype)
-    points[inverse] = used_verts  # same key -> same position (exact math)
-    triangles = inverse.reshape(-1, 3).astype(np.int64)
-    # Drop degenerate triangles (two corners on the same edge key), which occur
-    # when the iso value exactly hits a grid point value.
-    ok = (
-        (triangles[:, 0] != triangles[:, 1])
-        & (triangles[:, 1] != triangles[:, 2])
-        & (triangles[:, 0] != triangles[:, 2])
+    return _weld_triangle_soup(
+        flat_verts[flat_valid], flat_keys[flat_valid], matrix
     )
-    triangles = triangles[ok]
-
-    if matrix is not None:
-        m = np.asarray(matrix, dtype=np.float64)
-        points = points @ m[:3, :3].T + m[:3, 3]
-    return PolyData(points, triangles)
 
 
 def extract_isosurface(

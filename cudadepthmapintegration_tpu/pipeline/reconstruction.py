@@ -165,6 +165,12 @@ class ReconstructionPipeline:
         batch: list[DepthMapView] = []
         n_total = len(views) if hasattr(views, "__len__") else None
         done = 0
+        if isinstance(views, DepthMapDataset):
+            # Overlap disk I/O + decode with device fusion (the reference
+            # serializes them: CudaReconstruction.cu:343-365).
+            from .streaming import prefetch_views
+
+            views = prefetch_views(views, prefetch=2 * cfg.stream_batch)
         for view in views:
             batch.append(view)
             if len(batch) >= cfg.stream_batch:
