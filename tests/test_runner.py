@@ -1,0 +1,115 @@
+"""Fault-tolerant runner: retries, resume, multi-host striping."""
+
+import numpy as np
+
+from cudadepthmapintegration_tpu.core import RayPotential, VoxelGrid
+from cudadepthmapintegration_tpu.ops import TSDFIntegrator, integrate_views_oracle
+from cudadepthmapintegration_tpu.pipeline.runner import FaultTolerantRunner
+from cudadepthmapintegration_tpu.testing import sphere_scene
+
+PARAMS = RayPotential(thick=0.1, rho=0.8, eta=0.03, delta=0.3)
+
+
+def grid16():
+    return VoxelGrid(dims=(17, 17, 17), origin=(-1.6,) * 3, spacing=(0.2,) * 3)
+
+
+def make_integrate_fn(grid, flaky_failures=0):
+    state = {"fails_left": flaky_failures}
+
+    def integrate_fn(volume, batch):
+        if state["fails_left"] > 0:
+            state["fails_left"] -= 1
+            raise RuntimeError("injected transient failure")
+        integ = TSDFIntegrator(grid, PARAMS, dtype=np.float64).reset(volume)
+        integ.integrate(batch)
+        return integ.result()
+
+    return integrate_fn
+
+
+def test_runner_fuses_everything():
+    views = sphere_scene(n_views=7, width=64, height=48)
+    grid = grid16()
+    runner = FaultTolerantRunner(grid, PARAMS, make_integrate_fn(grid), unit_size=2)
+    vol = runner.run(views)
+    exp = integrate_views_oracle(grid, views, PARAMS)
+    np.testing.assert_allclose(vol, exp, atol=1e-9)
+    assert not runner.failed_units
+
+
+def test_runner_retries_transient_failures():
+    views = sphere_scene(n_views=4, width=64, height=48)
+    grid = grid16()
+    runner = FaultTolerantRunner(
+        grid, PARAMS, make_integrate_fn(grid, flaky_failures=2), unit_size=2
+    )
+    vol = runner.run(views)
+    exp = integrate_views_oracle(grid, views, PARAMS)
+    np.testing.assert_allclose(vol, exp, atol=1e-9)
+    assert not runner.failed_units
+
+
+def test_runner_reports_permanent_failures():
+    views = sphere_scene(n_views=4, width=64, height=48)
+    grid = grid16()
+
+    def always_fail(volume, batch):
+        raise RuntimeError("broken")
+
+    runner = FaultTolerantRunner(
+        grid, PARAMS, always_fail, unit_size=2, max_retries=2
+    )
+    runner.run(views)
+    assert sorted(runner.failed_units) == [0, 1]
+
+
+def test_runner_resume_from_checkpoint(tmp_path):
+    views = sphere_scene(n_views=8, width=64, height=48)
+    grid = grid16()
+    ckpt = str(tmp_path / "run.ckpt")
+
+    # First run crashes partway: fail permanently on unit 2+.
+    calls = {"n": 0}
+
+    def crashy(volume, batch):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("host died")
+        return make_integrate_fn(grid)(volume, batch)
+
+    r1 = FaultTolerantRunner(
+        grid, PARAMS, crashy, unit_size=2, max_retries=1, checkpoint_path=ckpt
+    )
+    r1.run(views)
+    assert len(r1.completed_units) == 2
+
+    # Second run resumes and completes only the remaining units.
+    seen_batches = []
+
+    def tracking(volume, batch):
+        seen_batches.append(len(batch))
+        return make_integrate_fn(grid)(volume, batch)
+
+    r2 = FaultTolerantRunner(
+        grid, PARAMS, tracking, unit_size=2, checkpoint_path=ckpt
+    )
+    vol = r2.run(views)
+    assert len(seen_batches) == 2  # only units 2 and 3 re-ran
+    exp = integrate_views_oracle(grid, views, PARAMS)
+    np.testing.assert_allclose(vol, exp, atol=1e-9)
+
+
+def test_runner_multi_host_striping_sums_to_full():
+    views = sphere_scene(n_views=8, width=64, height=48)
+    grid = grid16()
+    partials = []
+    for host in range(2):
+        r = FaultTolerantRunner(
+            grid, PARAMS, make_integrate_fn(grid), unit_size=2,
+            host_id=host, num_hosts=2,
+        )
+        partials.append(r.run(views))
+    combined = partials[0] + partials[1]
+    exp = integrate_views_oracle(grid, views, PARAMS)
+    np.testing.assert_allclose(combined, exp, atol=1e-9)
