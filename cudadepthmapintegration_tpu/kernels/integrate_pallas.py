@@ -15,15 +15,17 @@ Design (TPU-first, not a CUDA translation):
   the loop-nest inversion called out in SURVEY.md section 7.4.
 * **Projection math is separable** (see ``ops/integrate.py``): per-axis
   tables combined with broadcasted VPU adds; no per-voxel mat4 products.
-* **Two-tier exact gather.** Per (8, 128) voxel subtile the projected pixel
-  footprint is measured with two vector reductions. The common case (compact
-  footprint) is served by a *statically unrolled* ``n_wr x n_wc`` grid of
-  aligned (8, 128) windows — measured on v5e, `lax.while_loop` window-walking
-  costs ~3x the gathers themselves, so static unrolling wins. The rare case
-  (deep/grazing subtiles whose footprint exceeds the static grid) falls back
-  to a while-loop window walk under ``lax.cond``. Both tiers lane-gather each
-  window row (``dynamic_gather``) and combine by row-match select — exact for
-  arbitrary geometry, no retry needed.
+* **Branchless exact gather.** Per (8, 128) voxel subtile the projected
+  pixel footprint is measured with four vector reductions, then covered by a
+  *statically unrolled* ``n_wr x n_wc`` grid of aligned (8, 128) windows
+  anchored at the footprint minimum, plus an L-shaped remainder (rows below
+  the grid, columns right of it) walked by while-loops that execute ZERO
+  iterations when the footprint fits. Measured on v5e: per-subtile
+  `lax.cond` tiering serializes the kernel (~2x slower), and while-walking
+  every window costs ~3x the gathers — hence static-unroll + empty-loop
+  remainders. Every window row is lane-gathered (``dynamic_gather``) and
+  combined by row-match select — exact for arbitrary geometry. (8 gathers
+  per (8, 128) window is optimal for a per-lane gather unit.)
 * **Orientation grouping** (wrapper): a subtile's image-v span is
   ``~128*|dv/d(lane axis)|``, which explodes when the lane axis parallels the
   camera's viewing direction. :func:`integrate_views_oriented` groups views
@@ -260,7 +262,7 @@ def pallas_integrate(
     tables_tc,  # (V, 4) f32
     depths,  # (V, h, w) f32; -1 = invalid sentinel
     thick: float, rho: float, eta: float, delta: float,
-    windows: tuple[int, int] = (2, 2),
+    windows: tuple[int, int] = (3, 2),
 ):
     """Fuse all views into `volume` (returns the updated volume).
 
@@ -430,7 +432,7 @@ class OrientedFusionPlan:
                 )
             )
 
-    def run(self, volume_zyx, windows: tuple[int, int] = (2, 2)):
+    def run(self, volume_zyx, windows: tuple[int, int] = (3, 2)):
         """Fuse the planned views into (cz, cy, cx) `volume_zyx` (device)."""
         p = self.params
         vol = jnp.asarray(volume_zyx, jnp.float32)
@@ -454,7 +456,7 @@ def integrate_views_oriented(
     views,
     params,
     threshold_best_cost: float | None = None,
-    windows: tuple[int, int] = (2, 2),
+    windows: tuple[int, int] = (3, 2),
     view_pad_multiple: int = 8,
 ):
     """High-level Pallas fusion: orientation-grouped, per-subtile adaptive.
