@@ -2,6 +2,7 @@
 
 from .checkpoint import FusionCheckpoint, load_checkpoint, save_checkpoint
 from .coloration import ColorationConfig, ColorationPipeline
+from .filter import ReconstructionFilter
 from .reconstruction import (
     ReconstructionConfig,
     ReconstructionPipeline,
@@ -15,6 +16,7 @@ __all__ = [
     "ColorationPipeline",
     "FaultTolerantRunner",
     "FusionCheckpoint",
+    "ReconstructionFilter",
     "ReconstructionConfig",
     "ReconstructionPipeline",
     "ReconstructionResult",
