@@ -67,13 +67,14 @@ def _round_half_away(x):
 
 
 def _window_pass(depth, rs, cs, ui, vi, sel, d):
-    """Gather one aligned (8, 128) window: 8 lane-gathers + row selects."""
+    """Gather one aligned (8, 128) image window into an (SJ, 128) voxel
+    subtile: 8 lane-gathers + row selects."""
     win = depth[pl.ds(rs, 8), pl.ds(cs, 128)]
     u_loc = jnp.clip(ui - cs, 0, 127)
     in_cols = (ui >= cs) & (ui < cs + 128)
     sel_c = sel & in_cols
     for rr in range(8):
-        rowv = jnp.broadcast_to(win[rr][None, :], (8, 128))
+        rowv = jnp.broadcast_to(win[rr][None, :], sel.shape)
         g = jnp.take_along_axis(rowv, u_loc, axis=1)
         d = jnp.where(sel_c & (vi == rs + rr), g, d)
     return d
@@ -81,7 +82,7 @@ def _window_pass(depth, rs, cs, ui, vi, sel, d):
 
 def _integrate_kernel(
     tx_ref, ty_ref, tz_ref, tc_ref, depth_ref, vol_ref, out_ref,
-    *, h, w, hp, wp, cy, cx, n_wr, n_wc, thick, rho, eta, delta,
+    *, h, w, hp, wp, cy, cx, sj, n_wr, n_wc, thick, rho, eta, delta,
 ):
     # h/w: REAL image dims (bounds tests); hp/wp: padded depth-block dims.
     view = pl.program_id(1)
@@ -104,7 +105,7 @@ def _integrate_kernel(
 
     def jt_body(jt, _):
         # ty is laid out (V, cy, 4): sublane-dim slicing stays 8-aligned.
-        tys = ty_ref[0, pl.ds(jt * 8, 8), :]  # (8, 4)
+        tys = ty_ref[0, pl.ds(jt * sj, sj), :]  # (sj, 4)
         for it in range(cx // 128):
             txs = tx[:, it * 128 : (it + 1) * 128]  # (4, 128)
             h0 = tys[:, 0:1] + (txs[0][None, :] + zc0)
@@ -191,26 +192,28 @@ def _integrate_kernel(
             ramp = (rho / thick) * diff
             val = jnp.where(a > delta, far, jnp.where(a > thick, shell, ramp))
             contrib = jnp.where(valid, val, 0.0)
-            sl = (0, pl.ds(jt * 8, 8), pl.ds(it * 128, 128))
+            sl = (0, pl.ds(jt * sj, sj), pl.ds(it * 128, 128))
             out_ref[sl] += contrib
         return 0
 
-    jax.lax.fori_loop(0, cy // 8, jt_body, 0)
+    jax.lax.fori_loop(0, cy // sj, jt_body, 0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "w", "n_wr", "n_wc", "thick", "rho", "eta", "delta"),
+    static_argnames=("h", "w", "sj", "n_wr", "n_wc", "thick", "rho", "eta",
+                     "delta"),
     donate_argnames=("volume",),
 )
 def _pallas_integrate_padded(
-    volume, tx, ty, tz, tc, depths, *, h, w, n_wr, n_wc, thick, rho, eta, delta
+    volume, tx, ty, tz, tc, depths, *, h, w, sj, n_wr, n_wc,
+    thick, rho, eta, delta
 ):
     cz, cy, cx = volume.shape
     nviews, hp, wp = depths.shape
     kernel = functools.partial(
         _integrate_kernel,
-        h=h, w=w, hp=hp, wp=wp, cy=cy, cx=cx, n_wr=n_wr, n_wc=n_wc,
+        h=h, w=w, hp=hp, wp=wp, cy=cy, cx=cx, sj=sj, n_wr=n_wr, n_wc=n_wc,
         thick=thick, rho=rho, eta=eta, delta=delta,
     )
     flops_per_upd = 40
@@ -263,6 +266,7 @@ def pallas_integrate(
     depths,  # (V, h, w) f32; -1 = invalid sentinel
     thick: float, rho: float, eta: float, delta: float,
     windows: tuple[int, int] = (3, 2),
+    subtile_rows: int = 16,
 ):
     """Fuse all views into `volume` (returns the updated volume).
 
@@ -281,6 +285,7 @@ def pallas_integrate(
     hp, wp = h + ph, w + pw
     n_wr = min(windows[0], hp // 8)
     n_wc = min(windows[1], wp // 128)
+    sj = int(subtile_rows)
     # tz transposed to (cz, V, 4) (k-indexed SMEM block); ty to (V, cy, 4)
     # (sublane-aligned jt slicing in the kernel).
     tz_kv = jnp.transpose(jnp.asarray(tables_tz), (2, 0, 1))
@@ -289,7 +294,7 @@ def pallas_integrate(
         jnp.asarray(volume, jnp.float32),
         jnp.asarray(tables_tx), ty_vc, tz_kv, jnp.asarray(tables_tc),
         jnp.asarray(depths),
-        h=h, w=w, n_wr=n_wr, n_wc=n_wc,
+        h=h, w=w, sj=sj, n_wr=n_wr, n_wc=n_wc,
         thick=float(thick), rho=float(rho),
         eta=float(eta), delta=float(delta),
     )
@@ -386,12 +391,14 @@ class OrientedFusionPlan:
         params,
         threshold_best_cost: float | None = None,
         view_pad_multiple: int = 8,
+        subtile_rows: int = 16,
     ):
         from ..ops.integrate import projection_tables
 
         if threshold_best_cost is not None:
             views = [v.thresholded(threshold_best_cost) for v in views]
         self.params = params
+        self.subtile_rows = int(subtile_rows)
         tables = projection_tables(grid, views, np.float32)
         axis_tables = {0: tables.tx, 1: tables.ty, 2: tables.tz}
         rots = [(v.camera.rt @ grid.matrix)[:3, :3] for v in views]
@@ -406,7 +413,7 @@ class OrientedFusionPlan:
             inv = tuple(int(a) for a in np.argsort(order))
             dims_p = [(cz, cy, cx)[o] for o in order]
             czp, cyp, cxp = dims_p
-            py, px = (-cyp) % 8, (-cxp) % 128
+            py, px = (-cyp) % self.subtile_rows, (-cxp) % 128
             sel = np.asarray(idxs)
             g_new = -(-len(sel) // view_pad_multiple) * view_pad_multiple
             tx, ty, tz, tc, depths = _pad_views_invalid(
@@ -445,6 +452,7 @@ class OrientedFusionPlan:
                 volp, g["tx"], g["ty"], g["tz"], g["tc"], g["depths"],
                 p.thick, p.rho, p.eta, p.delta,
                 windows=windows,
+                subtile_rows=self.subtile_rows,
             )
             vol = jnp.transpose(out[:, : g["cyp"], : g["cxp"]], g["inv"])
         return vol
@@ -458,6 +466,7 @@ def integrate_views_oriented(
     threshold_best_cost: float | None = None,
     windows: tuple[int, int] = (3, 2),
     view_pad_multiple: int = 8,
+    subtile_rows: int = 16,
 ):
     """High-level Pallas fusion: orientation-grouped, per-subtile adaptive.
 
@@ -468,5 +477,6 @@ def integrate_views_oriented(
         grid, views, params,
         threshold_best_cost=threshold_best_cost,
         view_pad_multiple=view_pad_multiple,
+        subtile_rows=subtile_rows,
     )
     return plan.run(volume_zyx, windows=windows)
