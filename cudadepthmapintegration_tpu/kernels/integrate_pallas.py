@@ -85,7 +85,7 @@ def _integrate_kernel(
     *, h, w, hp, wp, cy, cx, sj, n_wr, n_wc, thick, rho, eta, delta,
 ):
     # h/w: REAL image dims (bounds tests); hp/wp: padded depth-block dims.
-    view = pl.program_id(1)
+    view = pl.program_id(2)
 
     @pl.when(view == 0)
     def _():
@@ -211,26 +211,35 @@ def _pallas_integrate_padded(
 ):
     cz, cy, cx = volume.shape
     nviews, hp, wp = depths.shape
+    # Split the volume block along y when a full (cy, cx) slab (x2 in/out,
+    # x2 double-buffered) would overflow VMEM; cap one block at ~2 MiB.
+    cy_b = cy
+    while cy_b > sj and cy_b * cx * 4 > (2 << 20):
+        cy_b //= 2
+    cy_b = max(sj, (cy_b // sj) * sj)
+    while cy % cy_b:
+        cy_b -= sj  # cy is a multiple of sj; find a divisor multiple of sj
+    n_jtb = cy // cy_b
     kernel = functools.partial(
         _integrate_kernel,
-        h=h, w=w, hp=hp, wp=wp, cy=cy, cx=cx, sj=sj, n_wr=n_wr, n_wc=n_wc,
+        h=h, w=w, hp=hp, wp=wp, cy=cy_b, cx=cx, sj=sj, n_wr=n_wr, n_wc=n_wc,
         thick=thick, rho=rho, eta=eta, delta=delta,
     )
     flops_per_upd = 40
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((cz, cy, cx), jnp.float32),
-        grid=(cz, nviews),
+        grid=(cz, n_jtb, nviews),
         in_specs=[
-            pl.BlockSpec((1, 4, cx), lambda k, v: (v, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cy, 4), lambda k, v: (v, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nviews, 4), lambda k, v: (k, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nviews, 4), lambda k, v: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, hp, wp), lambda k, v: (v, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cy, cx), lambda k, v: (k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, cx), lambda k, jb, v: (v, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cy_b, 4), lambda k, jb, v: (v, jb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nviews, 4), lambda k, jb, v: (k, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nviews, 4), lambda k, jb, v: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, hp, wp), lambda k, jb, v: (v, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cy_b, cx), lambda k, jb, v: (k, jb, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, cy, cx), lambda k, v: (k, 0, 0), memory_space=pltpu.VMEM
+            (1, cy_b, cx), lambda k, jb, v: (k, jb, 0), memory_space=pltpu.VMEM
         ),
         input_output_aliases={5: 0},
         cost_estimate=pl.CostEstimate(

@@ -202,6 +202,95 @@ class ShardedTSDFIntegrator:
         self.views_fused += len(views)
         return self
 
+    def integrate_pallas(
+        self,
+        views: list[DepthMapView],
+        threshold_best_cost: float | None = None,
+        windows: tuple[int, int] = (3, 2),
+        subtile_rows: int = 16,
+    ):
+        """Spatially-sharded fusion with the Pallas kernel per z-shard.
+
+        Each device runs the TPU integrate kernel on its own z-slab
+        (`shard_map`; no collectives — same ownership argument as
+        :meth:`integrate`). The z-dependent table is sharded with the volume;
+        everything else is replicated. Orientation grouping is skipped here
+        (the z axis is fixed by the sharding); for maximum per-chip
+        throughput on inward-orbit rigs, shard the axis your cameras look
+        along least.
+        """
+        if self.volume is None:
+            self.reset()
+        if np.dtype(self.dtype) != np.float32:
+            raise ValueError("pallas path requires float32")
+        if threshold_best_cost is not None:
+            views = [v.thresholded(threshold_best_cost) for v in views]
+        from ..kernels.integrate_pallas import pallas_integrate
+
+        h, w = views[0].depth.shape
+        t = projection_tables(self.grid, views, np.float32)
+        depths = np.stack([v.depth for v in views]).astype(np.float32)
+        # Pre-pad depth maps on the host (pallas_integrate would otherwise
+        # np.pad a traced array inside shard_map). -1 padding preserves
+        # semantics: a projection landing in the pad reads the invalid
+        # sentinel and is rejected, exactly like the bounds test would.
+        ph, pw = (-h) % 8, (-w) % 128
+        if ph or pw:
+            depths = np.pad(
+                depths, ((0, 0), (0, ph), (0, pw)), constant_values=-1.0
+            )
+        mesh = self.mesh
+        cz, cy, cx = self.grid.volume_shape
+        py, px = (-cy) % subtile_rows, (-cx) % 128
+        params = self.params
+
+        def pad_axis_table(tab, n_new):
+            if n_new == tab.shape[2]:
+                return tab
+            pad = np.zeros((tab.shape[0], 4, n_new - tab.shape[2]), np.float32)
+            pad[:, 2, :] = -1e9  # poisoned hom-z: padded voxels never valid
+            return np.concatenate([tab, pad], axis=2)
+
+        tx = pad_axis_table(t.tx, cx + px)
+        ty = pad_axis_table(t.ty, cy + py)
+
+        def body(vol_shard, tz_shard, tx_, ty_, tc_, depths_):
+            if py or px:
+                vol_shard = jnp.pad(vol_shard, ((0, 0), (0, py), (0, px)))
+            out = pallas_integrate(
+                vol_shard, tx_, ty_, tz_shard, tc_, depths_,
+                params.thick, params.rho, params.eta, params.delta,
+                windows=windows, subtile_rows=subtile_rows,
+            )
+            return out[:, :cy, :cx]
+
+        step = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(
+                    P("z", None, None),
+                    P(None, None, "z"),
+                    P(), P(), P(), P(),
+                ),
+                out_specs=P("z", None, None),
+                # pallas_call's out_shape carries no vma annotation; the
+                # body is communication-free, so skip the vma check.
+                check_vma=False,
+            )
+        )
+        repl = NamedSharding(mesh, P())
+        self.volume = step(
+            self.volume,
+            jax.device_put(t.tz, NamedSharding(mesh, P(None, None, "z"))),
+            jax.device_put(tx, repl),
+            jax.device_put(ty, repl),
+            jax.device_put(t.tc, repl),
+            jax.device_put(depths, repl),
+        )
+        self.views_fused += len(views)
+        return self
+
     def result(self) -> np.ndarray:
         if self.volume is None:
             self.reset()
