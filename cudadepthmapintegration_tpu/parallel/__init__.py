@@ -1,5 +1,6 @@
 """Multi-device parallelism: mesh, sharded fusion, halo exchange, coloration."""
 
+from . import distributed
 from .halo import exchange_z_halo, sharded_cell_to_point
 from .mesh import make_mesh
 from .sharded_coloration import sharded_colorize_points
@@ -7,6 +8,7 @@ from .sharded_integrate import ShardedTSDFIntegrator
 
 __all__ = [
     "ShardedTSDFIntegrator",
+    "distributed",
     "exchange_z_halo",
     "make_mesh",
     "sharded_cell_to_point",
