@@ -171,15 +171,22 @@ def marching_cubes(
     ys: np.ndarray,
     zs: np.ndarray,
     matrix: np.ndarray | None = None,
-    backend: str = "jax",
+    backend: str = "auto",
 ) -> PolyData:
     """Extract the `iso` isosurface of a (nz, ny, nx) point-scalar volume.
 
     ``xs/ys/zs`` are the per-axis point coordinates (grid frame); ``matrix``
     (4x4) is applied to the output vertices, mirroring the transform filter at
-    ``Reconstruction/main.cxx:176-189``. ``backend``: 'jax' (two-phase
-    device extraction) or 'native' (C++ table walker — host path).
+    ``Reconstruction/main.cxx:176-189``. ``backend``: 'native' (C++ table
+    walker — the fast host path), 'jax' (two-phase device extraction), or
+    'auto' (native when the library is built, else jax). Meshing runs once
+    per reconstruction, on host-resident data; the C++ walker avoids both a
+    device round-trip and an XLA gather-bound compact pass.
     """
+    if backend == "auto":
+        from .. import native
+
+        backend = "native" if native.available() else "jax"
     if backend == "native":
         from .. import native
 

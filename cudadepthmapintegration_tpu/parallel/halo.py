@@ -9,12 +9,9 @@ neighbor traffic only: one (cy, cx) plane per shard per direction).
 """
 
 from __future__ import annotations
-
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = ["sharded_cell_to_point", "exchange_z_halo"]
 

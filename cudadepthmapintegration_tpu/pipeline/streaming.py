@@ -10,7 +10,6 @@ section 2 (pipeline-parallel slot).
 
 from __future__ import annotations
 
-import queue
 import threading
 from collections.abc import Iterator, Sequence
 
