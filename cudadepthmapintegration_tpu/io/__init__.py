@@ -4,7 +4,7 @@ from .dataset import DepthMapDataset, load_view, save_view_npz
 from .krtd import read_krtd, write_krtd
 from .listfile import extract_all_file_paths
 from .mha import read_mha, write_mha
-from .polydata import PolyData, read_vtp, write_vtp, write_vts
+from .polydata import PolyData, read_vtp, read_vts, write_vtp, write_vts
 from .vti import ImageData, read_depth_map, read_vti, write_depth_map_vti, write_vti
 
 __all__ = [
@@ -18,6 +18,7 @@ __all__ = [
     "read_mha",
     "read_vti",
     "read_vtp",
+    "read_vts",
     "save_view_npz",
     "write_depth_map_vti",
     "write_krtd",

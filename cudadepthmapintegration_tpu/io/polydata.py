@@ -11,7 +11,7 @@ import numpy as np
 
 from .vtkxml import VtkXmlWriter, decode_data_array, parse_vtk_xml
 
-__all__ = ["PolyData", "read_vtp", "write_vtp", "write_vts"]
+__all__ = ["PolyData", "read_vtp", "write_vtp", "read_vts", "write_vts"]
 
 
 class PolyData:
@@ -92,6 +92,31 @@ def write_vtp(path: str, mesh: PolyData, compress: bool = False) -> None:
     body.append(w.data_array_xml(offs, name="offsets", indent="        "))
     body.append("      </Polys>\n    </Piece>\n  </PolyData>\n")
     w.write(path, "PolyData", "".join(body))
+
+
+def read_vts(path: str):
+    """Read a StructuredGrid: returns (points (nz, ny, nx, 3), point_arrays,
+    cell_arrays) — the inverse of :func:`write_vts`."""
+    root, ctx = parse_vtk_xml(path)
+    sg = root.find("StructuredGrid")
+    if sg is None:
+        raise ValueError(f"{path} is not a StructuredGrid VTKFile")
+    extent = [int(v) for v in sg.get("WholeExtent").split()]
+    nx = extent[1] - extent[0] + 1
+    ny = extent[3] - extent[2] + 1
+    nz = extent[5] - extent[4] + 1
+    piece = sg.find("Piece")
+    pts = decode_data_array(piece.find("Points").find("DataArray"), ctx)
+    points = np.asarray(pts, np.float64).reshape(nz, ny, nx, 3)
+    point_arrays: dict[str, np.ndarray] = {}
+    cell_arrays: dict[str, np.ndarray] = {}
+    for section, store in (("PointData", point_arrays), ("CellData", cell_arrays)):
+        sec = piece.find(section)
+        if sec is None:
+            continue
+        for da in sec.findall("DataArray"):
+            store[da.get("Name")] = decode_data_array(da, ctx)
+    return points, point_arrays, cell_arrays
 
 
 def write_vts(
