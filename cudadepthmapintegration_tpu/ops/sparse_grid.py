@@ -175,6 +175,17 @@ class SparseTSDFGrid:
         if not coords:
             return self
         slots = self._allocate(coords)
+        # Bucket the block count to limit jit recompiles across frames:
+        # padded entries use slot == capacity, which jnp gathers clamp
+        # (reading garbage that is then discarded) and scatters DROP
+        # (out-of-bounds updates are dropped in XLA) — so padding is inert.
+        bucket = 512
+        pad = (-len(slots)) % bucket
+        if pad:
+            slots = np.concatenate(
+                [slots, np.full(pad, self.capacity, np.int32)]
+            )
+            coords = list(coords) + [(0, 0, 0)] * pad
         bs = np.array(
             [self.block_shape[2], self.block_shape[1], self.block_shape[0]],
             np.float64,
