@@ -1,0 +1,82 @@
+"""TUM RGB-D reader: synthetic dataset round-trip + fusion smoke test."""
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image
+
+from cudadepthmapintegration_tpu.core import RayPotential
+from cudadepthmapintegration_tpu.io.tum import (
+    TUMDataset,
+    TUMIntrinsics,
+    quaternion_to_rotation,
+)
+from cudadepthmapintegration_tpu.ops.sparse_grid import SparseTSDFGrid
+from cudadepthmapintegration_tpu.testing import sphere_scene
+
+
+def make_tum_dir(tmp_path, views, scale=5000.0):
+    (tmp_path / "depth").mkdir()
+    (tmp_path / "rgb").mkdir()
+    depth_lines, rgb_lines, gt_lines = ["# depth"], ["# rgb"], ["# gt"]
+    for i, v in enumerate(views):
+        t = 100.0 + i * 0.1
+        dpng = np.where(v.depth > 0, v.depth * scale, 0).astype(np.uint16)
+        Image.fromarray(dpng).save(tmp_path / "depth" / f"{t:.6f}.png")
+        Image.fromarray(v.color).save(tmp_path / "rgb" / f"{t:.6f}.png")
+        depth_lines.append(f"{t:.6f} depth/{t:.6f}.png")
+        rgb_lines.append(f"{t:.6f} rgb/{t:.6f}.png")
+        # Camera pose in world = inverse of the view's world->camera RT.
+        rt = v.camera.rt
+        r_cw = rt[:3, :3].T
+        t_w = -r_cw @ rt[:3, 3]
+        # Rotation -> quaternion.
+        m = r_cw
+        qw = np.sqrt(max(0, 1 + m[0, 0] + m[1, 1] + m[2, 2])) / 2
+        qx = (m[2, 1] - m[1, 2]) / (4 * qw)
+        qy = (m[0, 2] - m[2, 0]) / (4 * qw)
+        qz = (m[1, 0] - m[0, 1]) / (4 * qw)
+        gt_lines.append(
+            f"{t + 0.002:.6f} {t_w[0]} {t_w[1]} {t_w[2]} {qx} {qy} {qz} {qw}"
+        )
+    (tmp_path / "depth.txt").write_text("\n".join(depth_lines) + "\n")
+    (tmp_path / "rgb.txt").write_text("\n".join(rgb_lines) + "\n")
+    (tmp_path / "groundtruth.txt").write_text("\n".join(gt_lines) + "\n")
+
+
+def test_quaternion_identity():
+    np.testing.assert_allclose(quaternion_to_rotation(0, 0, 0, 1), np.eye(3))
+
+
+def test_tum_roundtrip(tmp_path):
+    views = sphere_scene(n_views=3, width=64, height=48, focal=60.0)
+    intr = TUMIntrinsics(60.0, 60.0, 32.0, 24.0)
+    make_tum_dir(tmp_path, views)
+    ds = TUMDataset(str(tmp_path), intrinsics=intr)
+    assert len(ds) == 3
+    v0 = ds[0]
+    # Depth round-trips through the 16-bit PNG (quantized to 1/5000 m).
+    valid = views[0].depth > 0
+    np.testing.assert_allclose(
+        v0.depth[valid], views[0].depth[valid], atol=1.1 / 5000
+    )
+    np.testing.assert_array_equal(v0.depth[~valid], -1.0)
+    np.testing.assert_array_equal(v0.color, views[0].color)
+    # Pose recovered (world->camera RT) to float precision.
+    np.testing.assert_allclose(v0.camera.rt, views[0].camera.rt, atol=1e-6)
+
+
+def test_tum_sparse_fusion_smoke(tmp_path):
+    views = sphere_scene(n_views=6, width=64, height=48, focal=60.0)
+    intr = TUMIntrinsics(60.0, 60.0, 32.0, 24.0)
+    make_tum_dir(tmp_path, views)
+    ds = TUMDataset(str(tmp_path), intrinsics=intr)
+    params = RayPotential(thick=0.06, rho=0.8, eta=0.03, delta=0.2)
+    sparse = SparseTSDFGrid(voxel_size=0.1, params=params, pixel_stride=2)
+    for frame in ds:
+        sparse.integrate_frame(frame)
+    mesh = sparse.extract_mesh(iso=1.0)
+    radii = np.linalg.norm(mesh.points, axis=1)
+    assert mesh.num_triangles > 50
+    assert abs(np.median(radii) - 1.0) < 0.15
