@@ -112,9 +112,17 @@ class ReconstructionResult:
 
 
 class ReconstructionPipeline:
-    def __init__(self, config: ReconstructionConfig, log: Log | None = None):
+    def __init__(
+        self,
+        config: ReconstructionConfig,
+        log: Log | None = None,
+        mesh=None,
+    ):
+        """`mesh`: optional jax.sharding.Mesh with a 'z' axis — fusion then
+        runs z-slab-sharded across its devices (parallel/sharded_integrate)."""
         self.config = config
         self.log = log or Log(verbose=False)
+        self.mesh = mesh
 
     def _print_parameters(self, grid: VoxelGrid) -> None:
         """Verbose parameter dump (``ShowFilledParameters``, main.cxx:396-454)."""
@@ -153,13 +161,24 @@ class ReconstructionPipeline:
         grid = cfg.make_grid()
         params = cfg.ray_potential()
         self._print_parameters(grid)
-        integrator = TSDFIntegrator(
-            grid,
-            params,
-            dtype=np.dtype(cfg.dtype),
-            view_batch=cfg.view_batch,
-            backend=cfg.backend,
-        ).reset(initial)
+        if self.mesh is not None:
+            from ..parallel.sharded_integrate import ShardedTSDFIntegrator
+
+            sharded = ShardedTSDFIntegrator(
+                grid, params, self.mesh, dtype=np.dtype(cfg.dtype)
+            ).reset(initial)
+            if cfg.backend == "pallas":
+                # Route batches through the per-shard Pallas kernel.
+                sharded.integrate = sharded.integrate_pallas  # type: ignore[assignment]
+            integrator = sharded
+        else:
+            integrator = TSDFIntegrator(
+                grid,
+                params,
+                dtype=np.dtype(cfg.dtype),
+                view_batch=cfg.view_batch,
+                backend=cfg.backend,
+            ).reset(initial)
 
         t0 = time.perf_counter()
         batch: list[DepthMapView] = []
