@@ -5,6 +5,7 @@ from .halo import exchange_z_halo, sharded_cell_to_point
 from .mesh import make_mesh
 from .sharded_coloration import sharded_colorize_points
 from .sharded_integrate import ShardedTSDFIntegrator
+from .sharded_mesh import sharded_extract_isosurface
 
 __all__ = [
     "ShardedTSDFIntegrator",
@@ -13,4 +14,5 @@ __all__ = [
     "make_mesh",
     "sharded_cell_to_point",
     "sharded_colorize_points",
+    "sharded_extract_isosurface",
 ]

@@ -1,0 +1,113 @@
+"""Distributed isosurface extraction over z-sharded volumes.
+
+The single-device path (``ops/marching_cubes.extract_isosurface``) gathers the
+whole volume to one host — fine at 256^3, wasteful at 1024^3 multi-host. Here
+each z-slab is converted to point scalars with a halo exchange
+(`sharded_cell_to_point`), pulled to the host *one slab at a time*, walked
+with the native marching-cubes kernel using GLOBAL cell offsets, and the
+per-slab triangle soups are welded by the same canonical global edge keys the
+single-device path uses — so the result is bit-identical to meshing the
+gathered volume, without ever materializing it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from jax.sharding import Mesh
+
+from ..core.grid import VoxelGrid
+from ..io.polydata import PolyData
+from ..ops.marching_cubes import _weld_triangle_soup
+from .halo import sharded_cell_to_point
+
+__all__ = ["sharded_extract_isosurface"]
+
+
+def sharded_extract_isosurface(
+    volume,  # (cz, cy, cx) z-sharded device array
+    grid: VoxelGrid,
+    iso: float,
+    mesh: Mesh,
+    backend: str = "auto",
+) -> PolyData:
+    """Contour a z-sharded fused volume into one welded mesh."""
+    points = sharded_cell_to_point(volume, mesh)  # (cz+1, cy+1, cx+1)
+    xs, ys, zs = grid.point_axes(np.float64)
+    nz, ny, nx = grid.point_shape
+    cz = nz - 1
+    n_shards = mesh.shape["z"]
+    bz = cz // n_shards
+
+    all_verts, all_keys = [], []
+    from .. import native
+
+    use_native = backend == "native" or (
+        backend == "auto" and native.available()
+    )
+    for s in range(n_shards):
+        k0 = s * bz
+        # Slab of point planes [k0, k0+bz] — cells [k0, k0+bz); each cell
+        # belongs to exactly one slab (no duplicate triangles), while the
+        # shared boundary plane gives identical edge keys for exact welding.
+        slab = np.asarray(points[k0 : k0 + bz + 1]).astype(np.float64)
+        if use_native:
+            verts, keys = native.marching_cubes_f64(
+                slab, iso, xs, ys, zs[k0 : k0 + bz + 1]
+            )
+            verts = verts.reshape(-1, 3)
+            keys = keys.reshape(-1)
+        else:
+            sub_mesh_soup = _jax_soup(slab, iso, xs, ys, zs[k0 : k0 + bz + 1])
+            verts, keys = sub_mesh_soup
+        if len(keys) == 0:
+            continue
+        # Translate slab-local keys to global: key = axis*(nx*ny*NZ) + flat
+        # with flat = (k_local*ny + j)*nx + i. Global: k_global = k_local+k0,
+        # global NZ differs — decompose and rebuild.
+        nz_slab = bz + 1
+        axis = keys // (nx * ny * nz_slab)
+        flat = keys % (nx * ny * nz_slab)
+        kk = flat // (nx * ny) + k0
+        rem = flat % (nx * ny)
+        gkeys = axis * (nx * ny * nz) + (kk * ny + rem // nx) * nx + rem % nx
+        all_verts.append(verts)
+        all_keys.append(gkeys)
+
+    if not all_verts:
+        return PolyData(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+    soup_verts = np.concatenate(all_verts)
+    soup_keys = np.concatenate(all_keys)
+    # Boundary edges appear in two slabs with identical keys and positions;
+    # welding dedups them exactly.
+    out = _weld_triangle_soup(soup_verts, soup_keys, grid.matrix)
+    return out
+
+
+def _jax_soup(slab, iso, xs, ys, zs):
+    """Triangle soup (verts, keys) via the JAX two-phase path."""
+    import jax.numpy as jnp
+
+    from ..ops.marching_cubes import _active_cell_triangles, _cube_config, _pad_to
+
+    pv = jnp.asarray(slab)
+    nz, ny, nx = pv.shape
+    cfg = np.asarray(_cube_config(pv, jnp.asarray(iso, pv.dtype)))
+    kk, jj, ii = np.nonzero((cfg != 0) & (cfg != 255))
+    if kk.shape[0] == 0:
+        return np.zeros((0, 3)), np.zeros((0,), np.int64)
+    pad = _pad_to(kk.shape[0])
+    cell_idx = np.zeros((pad, 3), np.int32)
+    cell_idx[: kk.shape[0]] = np.stack([kk, jj, ii], axis=1)
+    cfg_active = np.zeros((pad,), np.int32)
+    cfg_active[: kk.shape[0]] = cfg[kk, jj, ii]
+    verts, keys, valid = _active_cell_triangles(
+        pv.reshape(-1), jnp.asarray(iso, pv.dtype),
+        jnp.asarray(cell_idx), jnp.asarray(cfg_active),
+        jnp.asarray(xs, pv.dtype), jnp.asarray(ys, pv.dtype),
+        jnp.asarray(zs, pv.dtype),
+        nx=int(nx), ny=int(ny), nz=int(nz),
+    )
+    verts = np.asarray(verts)[: kk.shape[0]].reshape(-1, 3)
+    keys = np.asarray(keys)[: kk.shape[0]].reshape(-1)
+    valid = np.asarray(valid)[: kk.shape[0]].reshape(-1)
+    return verts[valid], keys[valid]
