@@ -114,6 +114,24 @@ class FaultTolerantRunner:
 
     # -- run -----------------------------------------------------------------
 
+    def _checkpoint(self, volume, n_views: int) -> None:
+        by_id = {u.unit_id: u for u in _units_for(n_views, self.unit_size)}
+        fused = sum(
+            by_id[u].stop - by_id[u].start
+            for u in self.completed_units
+            if u in by_id
+        )
+        save_checkpoint(
+            self.checkpoint_path,
+            FusionCheckpoint(
+                volume=np.asarray(volume),
+                views_fused=fused,
+                grid=self.grid,
+                params=self.params,
+            ),
+        )
+        self._save_manifest()
+
     def run(self, views: Sequence, resume: bool = True) -> np.ndarray:
         """Fuse this host's share of `views`; returns the host's volume."""
         volume = None
@@ -157,31 +175,10 @@ class FaultTolerantRunner:
                 self.checkpoint_path
                 and done_since_ckpt >= self.checkpoint_every
             ):
-                save_checkpoint(
-                    self.checkpoint_path,
-                    FusionCheckpoint(
-                        volume=np.asarray(volume),
-                        views_fused=sum(
-                            min(self.unit_size, len(views) - u * self.unit_size)
-                            for u in self.completed_units
-                        ),
-                        grid=self.grid,
-                        params=self.params,
-                    ),
-                )
-                self._save_manifest()
+                self._checkpoint(volume, len(views))
                 done_since_ckpt = 0
         if self.checkpoint_path and done_since_ckpt:
-            save_checkpoint(
-                self.checkpoint_path,
-                FusionCheckpoint(
-                    volume=np.asarray(volume),
-                    views_fused=len(self.completed_units) * self.unit_size,
-                    grid=self.grid,
-                    params=self.params,
-                ),
-            )
-            self._save_manifest()
+            self._checkpoint(volume, len(views))
         if self.failed_units:
             self.log.always(
                 f"WARNING: units failed after retries: {self.failed_units}"
