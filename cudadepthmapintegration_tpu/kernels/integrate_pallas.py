@@ -211,6 +211,11 @@ def _pallas_integrate_padded(
 ):
     cz, cy, cx = volume.shape
     nviews, hp, wp = depths.shape
+    if cy % sj or cx % 128:
+        raise ValueError(
+            f"volume (cy={cy}, cx={cx}) must be padded to multiples of "
+            f"(subtile_rows={sj}, 128); see pad_volume/OrientedFusionPlan"
+        )
     # Split the volume block along y when a full (cy, cx) slab (x2 in/out,
     # x2 double-buffered) would overflow VMEM; cap one block at ~2 MiB.
     cy_b = cy
@@ -251,10 +256,12 @@ def _pallas_integrate_padded(
     )(tx, ty, tz, tc, depths, volume)
 
 
-def pad_volume(volume: np.ndarray) -> tuple[np.ndarray, tuple[int, int, int]]:
-    """Pad (cz, cy, cx) so cy % 8 == 0 and cx % 128 == 0."""
+def pad_volume(
+    volume: np.ndarray, subtile_rows: int = 16
+) -> tuple[np.ndarray, tuple[int, int, int]]:
+    """Pad (cz, cy, cx) so cy % subtile_rows == 0 and cx % 128 == 0."""
     cz, cy, cx = volume.shape
-    py = (-cy) % 8
+    py = (-cy) % subtile_rows
     px = (-cx) % 128
     if py or px:
         volume = np.pad(volume, ((0, 0), (0, py), (0, px)))
