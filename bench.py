@@ -1,6 +1,6 @@
 """Benchmark: TSDF fusion throughput on the attached TPU chip.
 
-Workload (BASELINE.json config 2 scale): 256^3-cell grid, 32 synthetic
+Workload (BASELINE.json config 3 scale): 512^3-cell grid, 32 synthetic
 512x512 depth maps with full calibration, float32, Pallas integrate kernel
 (orientation-grouped, prestaged). Reports voxel updates/sec.
 
@@ -34,7 +34,7 @@ from cudadepthmapintegration_tpu.ops import integrate as I
 from cudadepthmapintegration_tpu.testing import orbit_cameras, render_sphere_view
 
 
-def build_workload(dims=257, n_views=32, width=512, height=512):
+def build_workload(dims=513, n_views=32, width=512, height=512):
     grid = VoxelGrid(
         dims=(dims,) * 3, origin=(-1.6,) * 3, spacing=(3.2 / (dims - 1),) * 3
     )
@@ -45,11 +45,11 @@ def build_workload(dims=257, n_views=32, width=512, height=512):
         render_sphere_view(c, width, height, radius=1.0, background=-1.0)
         for c in cams
     ]
-    params = RayPotential(thick=0.05, rho=0.8, eta=0.03, delta=0.2)
+    params = RayPotential(thick=0.025, rho=0.8, eta=0.03, delta=0.1)
     return grid, views, params
 
 
-def bench_pallas(grid, views, params, reps=3):
+def bench_pallas(grid, views, params, reps=2):
     plan = OrientedFusionPlan(grid, views, params)
     out = plan.run(jnp.zeros(grid.volume_shape, jnp.float32))
     checksum = float(out.sum())  # warms compiles + forces completion
@@ -102,7 +102,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "tsdf_voxel_updates_per_sec_256cube_32views",
+                "metric": "tsdf_voxel_updates_per_sec_512cube_32views",
                 "value": round(value / 1e9, 4) * 1e9,
                 "unit": "voxel_updates/s",
                 "vs_baseline": round(vs_baseline, 3),
