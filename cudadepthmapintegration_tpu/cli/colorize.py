@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from ._cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
     log = Log(verbose=args.verbose)

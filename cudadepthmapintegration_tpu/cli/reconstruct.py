@@ -126,6 +126,9 @@ def _validate(args) -> str | None:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from ._cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
     err = _validate(args)
