@@ -1,5 +1,5 @@
-"""Command-line interfaces mirroring the reference executables."""
+"""Command-line interfaces mirroring the reference executables (+ RGB-D)."""
 
-from . import colorize, reconstruct
+from . import colorize, fuse_rgbd, reconstruct
 
-__all__ = ["colorize", "reconstruct"]
+__all__ = ["colorize", "fuse_rgbd", "reconstruct"]

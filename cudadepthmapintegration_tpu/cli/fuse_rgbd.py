@@ -1,0 +1,155 @@
+"""``fuse_rgbd`` CLI — incremental RGB-D sequence fusion (BASELINE config 5).
+
+Streams a TUM-format RGB-D sequence (or any vti/krtd dataset) through the
+sparse block-hashed TSDF grid at frame rate and writes the extracted mesh.
+This has no reference-CLI counterpart (the reference only batch-fuses into a
+dense grid); flags follow this package's conventions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from ..core.ray_potential import RayPotential
+from ..utils.log import Log
+
+__all__ = ["build_parser", "main"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fuse_rgbd",
+        description="Incremental RGB-D fusion with sparse block allocation.",
+    )
+    p.add_argument("--tum", type=str, default=None,
+                   help="TUM-format dataset directory (depth.txt + "
+                        "groundtruth.txt [+ rgb.txt])")
+    p.add_argument("--vti", type=str, default=None,
+                   help="Alternative input: file listing depth-map .vti paths")
+    p.add_argument("--krtd", type=str, default=None,
+                   help="With --vti: file listing .krtd camera paths")
+    p.add_argument("--voxelSize", type=float, default=0.01,
+                   help="Voxel edge length in meters (default 0.01)")
+    p.add_argument("--rayThick", type=float, default=None,
+                   help="Ray potential thickness (default 2*voxelSize)")
+    p.add_argument("--rayRho", type=float, default=0.8)
+    p.add_argument("--rayEta", type=float, default=0.03)
+    p.add_argument("--rayDelta", type=float, default=None,
+                   help="Truncation band (default 8*voxelSize)")
+    p.add_argument("--threshBestCost", type=float, default=None,
+                   help="Optional best-cost depth threshold")
+    p.add_argument("--contour", type=float, default=0.0,
+                   help="Isovalue for mesh extraction (default 0)")
+    p.add_argument("--maxFrames", type=int, default=None)
+    p.add_argument("--frameStride", type=int, default=1,
+                   help="Fuse every Nth frame (default 1)")
+    p.add_argument("--capacity", type=int, default=1 << 15,
+                   help="Sparse block pool capacity (default 32768)")
+    p.add_argument("--pixelStride", type=int, default=4,
+                   help="Pixel subsampling for block allocation (default 4)")
+    p.add_argument("--intrinsics", type=str, default="fr1",
+                   choices=["fr1", "fr2", "fr3"],
+                   help="TUM camera calibration preset (default fr1)")
+    p.add_argument("--output", type=str, required=True,
+                   help="Output mesh path (.vtp)")
+    p.add_argument("--colorize", action="store_true",
+                   help="Attach mean/median vertex colors from the frames")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    from ._cache import enable_compile_cache
+
+    enable_compile_cache()
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    log = Log(verbose=args.verbose)
+    if (args.tum is None) == (args.vti is None):
+        print("Error : give exactly one of --tum / --vti", file=sys.stderr)
+        return 1
+    if args.vti is not None and args.krtd is None:
+        print("Error : --vti requires --krtd", file=sys.stderr)
+        return 1
+    if ".vtp" not in args.output:
+        print("Error : Bad output extension.", file=sys.stderr)
+        return 1
+
+    params = RayPotential(
+        thick=args.rayThick if args.rayThick is not None else 2 * args.voxelSize,
+        rho=args.rayRho,
+        eta=args.rayEta,
+        delta=args.rayDelta if args.rayDelta is not None else 8 * args.voxelSize,
+    )
+    try:
+        params.validate()
+    except ValueError as e:
+        print(f"Error arguments. ({e})", file=sys.stderr)
+        return 1
+
+    try:
+        if args.tum is not None:
+            from ..io.tum import TUMDataset, TUMIntrinsics
+
+            intr = TUMIntrinsics.freiburg(int(args.intrinsics[-1]))
+            dataset = TUMDataset(args.tum, intrinsics=intr)
+        else:
+            from ..io.dataset import DepthMapDataset
+
+            dataset = DepthMapDataset(args.vti, args.krtd)
+    except (OSError, ValueError) as e:
+        print(f"Error : {e}", file=sys.stderr)
+        return 1
+
+    from ..ops.sparse_grid import SparseTSDFGrid
+    from ..pipeline.streaming import prefetch_views
+
+    sparse = SparseTSDFGrid(
+        voxel_size=args.voxelSize,
+        params=params,
+        capacity=args.capacity,
+        pixel_stride=args.pixelStride,
+    )
+    n = len(dataset)
+    if args.maxFrames is not None:
+        n = min(n, args.maxFrames * args.frameStride)
+    t0 = time.perf_counter()
+    fused_views = []
+    for i, frame in enumerate(prefetch_views(dataset)):
+        if i >= n:
+            break
+        if i % args.frameStride:
+            continue
+        sparse.integrate_frame(frame, threshold_best_cost=args.threshBestCost)
+        if args.colorize:
+            fused_views.append(frame)
+        log.progress(i + 1, n)
+    dt = time.perf_counter() - t0
+    log.info("")
+    log.info(
+        f"fused {sparse.frames_fused} frames in {dt:.1f}s "
+        f"({sparse.frames_fused / max(dt, 1e-9):.1f} fps), "
+        f"{sparse.num_allocated} blocks allocated"
+    )
+    if sparse.num_allocated == 0:
+        print("Error : no depth observations found", file=sys.stderr)
+        return 1
+
+    with log.phase("Extract mesh"):
+        mesh = sparse.extract_mesh(iso=args.contour)
+    if args.colorize and fused_views:
+        from ..ops.coloration import colorize_mesh
+
+        with log.phase("Colorize"):
+            mesh = colorize_mesh(mesh, fused_views)
+    from ..io.polydata import write_vtp
+
+    write_vtp(args.output, mesh)
+    log.info(f"wrote {mesh.num_triangles} triangles to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

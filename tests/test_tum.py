@@ -80,3 +80,31 @@ def test_tum_sparse_fusion_smoke(tmp_path):
     radii = np.linalg.norm(mesh.points, axis=1)
     assert mesh.num_triangles > 50
     assert abs(np.median(radii) - 1.0) < 0.15
+
+
+def test_fuse_rgbd_cli_end_to_end(tmp_path):
+    from cudadepthmapintegration_tpu.cli import fuse_rgbd
+    from cudadepthmapintegration_tpu.io import read_vtp
+
+    views = sphere_scene(n_views=6, width=64, height=48, focal=60.0)
+    make_tum_dir(tmp_path, views)
+    out = str(tmp_path / "mesh.vtp")
+    rc = fuse_rgbd.main([
+        "--tum", str(tmp_path), "--voxelSize", "0.1",
+        "--pixelStride", "2", "--contour", "1.0",
+        "--output", out, "--colorize", "--verbose",
+    ])
+    # TUM fr1 intrinsics differ from the synthetic camera; pass explicit ones
+    # via the dataset path instead: the CLI uses presets, so just check run.
+    assert rc == 0
+    mesh = read_vtp(out)
+    assert "MeanColoration" in mesh.point_data
+
+
+def test_fuse_rgbd_cli_validation(tmp_path):
+    from cudadepthmapintegration_tpu.cli import fuse_rgbd
+
+    assert fuse_rgbd.main(["--output", "m.vtp"]) == 1  # no input given
+    assert fuse_rgbd.main(["--tum", "x", "--vti", "y", "--output", "m.vtp"]) == 1
+    assert fuse_rgbd.main(["--vti", "a.txt", "--output", "m.vtp"]) == 1  # no krtd
+    assert fuse_rgbd.main(["--tum", str(tmp_path), "--output", "m.obj"]) == 1
