@@ -28,7 +28,6 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from cudadepthmapintegration_tpu.core import RayPotential, VoxelGrid
-from cudadepthmapintegration_tpu.core.view import DepthMapView
 from cudadepthmapintegration_tpu.kernels.integrate_pallas import OrientedFusionPlan
 from cudadepthmapintegration_tpu.ops import integrate as I
 from cudadepthmapintegration_tpu.testing import orbit_cameras, render_sphere_view

@@ -17,8 +17,7 @@ sys.path.insert(0, ".")
 import jax.numpy as jnp
 
 from cudadepthmapintegration_tpu.core import RayPotential, VoxelGrid
-from cudadepthmapintegration_tpu.core.view import DepthMapView
-from cudadepthmapintegration_tpu.core.camera import Camera
+
 from cudadepthmapintegration_tpu.core.grid import grid_matrix_from_axes
 from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
     integrate_views_oriented,

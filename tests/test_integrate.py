@@ -5,7 +5,6 @@ import numpy as np
 import pytest
 
 from cudadepthmapintegration_tpu.core import (
-    Camera,
     DepthMapView,
     RayPotential,
     VoxelGrid,

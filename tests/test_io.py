@@ -23,7 +23,7 @@ from cudadepthmapintegration_tpu.io import (
     write_mha,
     write_vtp,
 )
-from cudadepthmapintegration_tpu.io.vti import ImageData, write_vti
+from cudadepthmapintegration_tpu.io.vti import write_vti
 from cudadepthmapintegration_tpu.testing import sphere_scene
 
 

@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from cudadepthmapintegration_tpu.core import RayPotential, VoxelGrid
-from cudadepthmapintegration_tpu.ops import TSDFIntegrator, integrate_views_oracle
+from cudadepthmapintegration_tpu.ops import integrate_views_oracle
 from cudadepthmapintegration_tpu.ops.cell_to_point import cell_to_point
 from cudadepthmapintegration_tpu.parallel import (
     ShardedTSDFIntegrator,

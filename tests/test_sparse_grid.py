@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from cudadepthmapintegration_tpu.core import RayPotential, VoxelGrid
+from cudadepthmapintegration_tpu.core import RayPotential
 from cudadepthmapintegration_tpu.ops import integrate_views_oracle
 from cudadepthmapintegration_tpu.ops.sparse_grid import SparseTSDFGrid
 from cudadepthmapintegration_tpu.testing import sphere_scene
