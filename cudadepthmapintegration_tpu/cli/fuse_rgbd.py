@@ -50,8 +50,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pixelStride", type=int, default=4,
                    help="Pixel subsampling for block allocation (default 4)")
     p.add_argument("--intrinsics", type=str, default="fr1",
-                   choices=["fr1", "fr2", "fr3"],
-                   help="TUM camera calibration preset (default fr1)")
+                   choices=["fr1", "fr2", "fr3", "custom"],
+                   help="TUM camera calibration preset, or 'custom' with "
+                        "--fx/--fy/--cx/--cy (default fr1)")
+    p.add_argument("--fx", type=float, default=None)
+    p.add_argument("--fy", type=float, default=None)
+    p.add_argument("--cx", type=float, default=None)
+    p.add_argument("--cy", type=float, default=None)
     p.add_argument("--output", type=str, required=True,
                    help="Output mesh path (.vtp)")
     p.add_argument("--colorize", action="store_true",
@@ -93,7 +98,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.tum is not None:
             from ..io.tum import TUMDataset, TUMIntrinsics
 
-            intr = TUMIntrinsics.freiburg(int(args.intrinsics[-1]))
+            if args.intrinsics == "custom":
+                vals = (args.fx, args.fy, args.cx, args.cy)
+                if any(v is None for v in vals):
+                    print(
+                        "Error : --intrinsics custom requires --fx --fy --cx --cy",
+                        file=sys.stderr,
+                    )
+                    return 1
+                intr = TUMIntrinsics(*vals)
+            else:
+                intr = TUMIntrinsics.freiburg(int(args.intrinsics[-1]))
             dataset = TUMDataset(args.tum, intrinsics=intr)
         else:
             from ..io.dataset import DepthMapDataset

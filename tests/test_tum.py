@@ -92,13 +92,23 @@ def test_fuse_rgbd_cli_end_to_end(tmp_path):
     rc = fuse_rgbd.main([
         "--tum", str(tmp_path), "--voxelSize", "0.1",
         "--pixelStride", "2", "--contour", "1.0",
+        "--intrinsics", "custom",
+        "--fx", "60", "--fy", "60", "--cx", "32", "--cy", "24",
         "--output", out, "--colorize", "--verbose",
     ])
-    # TUM fr1 intrinsics differ from the synthetic camera; pass explicit ones
-    # via the dataset path instead: the CLI uses presets, so just check run.
     assert rc == 0
     mesh = read_vtp(out)
     assert "MeanColoration" in mesh.point_data
+    radii = np.linalg.norm(mesh.points, axis=1)
+    assert abs(np.median(radii) - 1.0) < 0.15  # real sphere recovered
+    # custom without values -> clean error
+    assert (
+        fuse_rgbd.main(
+            ["--tum", str(tmp_path), "--intrinsics", "custom",
+             "--output", str(tmp_path / "x.vtp")]
+        )
+        == 1
+    )
 
 
 def test_fuse_rgbd_cli_validation(tmp_path):
