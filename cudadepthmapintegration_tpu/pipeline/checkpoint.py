@@ -33,6 +33,10 @@ class FusionCheckpoint:
     grid: VoxelGrid
     params: RayPotential
     fused_view_names: list[str] = dataclasses.field(default_factory=list)
+    # Free-form JSON-serializable bookkeeping saved ATOMICALLY with the
+    # volume (e.g. the runner's completed-unit set — keeping it inside the
+    # .npz removes the crash window a separate manifest file would have).
+    extra: dict = dataclasses.field(default_factory=dict)
 
     def matches(self, grid: VoxelGrid, params: RayPotential) -> bool:
         return (
@@ -61,6 +65,7 @@ def save_checkpoint(path: str, ckpt: FusionCheckpoint) -> None:
             "delta": ckpt.params.delta,
         },
         "fused_view_names": ckpt.fused_view_names,
+        "extra": ckpt.extra,
     }
     tmp = path + ".tmp"
     np.savez_compressed(
@@ -94,4 +99,5 @@ def load_checkpoint(path: str) -> FusionCheckpoint:
             grid=grid,
             params=params,
             fused_view_names=list(meta.get("fused_view_names", [])),
+            extra=dict(meta.get("extra", {})),
         )

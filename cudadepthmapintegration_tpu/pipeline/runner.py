@@ -4,20 +4,28 @@ The reference aborts the whole job on any error (``gpuAssert`` calls
 ``exit()`` — ``CudaReconstruction.cu:68-76``). For long multi-host runs
 (BASELINE north star: 1000 maps -> 1024^3) we instead exploit the algebra:
 fusion is an order-independent SUM over views (``CudaReconstruction.cu:211``),
-so work splits into idempotent view-range units. A failed unit is simply
-re-fused; a crashed run resumes from its manifest + checkpoint.
+so work splits into idempotent view-range units. A failed unit is retried
+from a pre-attempt snapshot; a crashed run resumes from its checkpoint.
+
+Crash-safety model: the volume AND the completed-unit set are saved in ONE
+atomic ``os.replace`` (the unit set rides in the checkpoint's ``extra``
+meta), so there is no window where the volume contains a unit the
+bookkeeping does not know about. A checkpoint whose unit layout
+(unit_size / num_hosts / host_id) no longer matches is discarded entirely —
+volume included — so stale contributions can never be double-fused.
 
 Multi-host model: every host runs the same runner with (host_id, num_hosts);
 units are statically striped across hosts; each host fuses only its units
-into its (z-sharded) volume replica/partial, and partial volumes are summed
-once at the end (or the grid is z-sharded with views replicated, needing no
-sum at all — see parallel/sharded_integrate.py).
+into its own volume partial (checkpointed under a host-suffixed path), and
+partial volumes are summed once at the end via
+:func:`..parallel.distributed.all_sum_volume` (or the grid is z-sharded
+with views replicated, needing no sum at all — see
+parallel/sharded_integrate.py).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
 import time
 from typing import Callable, Sequence
@@ -29,7 +37,23 @@ from ..core.ray_potential import RayPotential
 from ..utils.log import Log
 from .checkpoint import FusionCheckpoint, load_checkpoint, save_checkpoint
 
-__all__ = ["WorkUnit", "FaultTolerantRunner"]
+__all__ = ["WorkUnit", "FaultTolerantRunner", "FusionUnitError"]
+
+
+class FusionUnitError(RuntimeError):
+    """Raised when work units remain failed after all retries.
+
+    A reconstruction silently missing views is worse than a crash, so this
+    is the default outcome (``on_failure="raise"``); completed units are
+    checkpointed first, so a fixed rerun resumes instead of restarting.
+    """
+
+    def __init__(self, failed_units: list[int]):
+        self.failed_units = list(failed_units)
+        super().__init__(
+            f"{len(self.failed_units)} work unit(s) failed after retries: "
+            f"{self.failed_units}"
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,7 +73,15 @@ def _units_for(n_views: int, unit_size: int) -> list[WorkUnit]:
 class FaultTolerantRunner:
     """Runs fusion as retried, checkpointed, idempotent view-range units.
 
-    `integrate_fn(volume_or_none, views) -> volume` applies one unit.
+    `integrate_fn(volume_or_none, views) -> volume` applies one unit. It MAY
+    donate/mutate the volume it receives and MAY fail non-atomically: every
+    attempt is fed a fresh copy of a host-side snapshot taken before the
+    unit, so retries never observe partial accumulation or deleted buffers.
+
+    on_failure: ``"raise"`` (default) raises :class:`FusionUnitError` after
+    all units have been attempted and progress checkpointed; ``"partial"``
+    restores the round-1 behavior of returning the volume with
+    ``failed_units`` recorded (caller must check it).
     """
 
     def __init__(
@@ -63,58 +95,46 @@ class FaultTolerantRunner:
         checkpoint_every: int = 1,
         host_id: int = 0,
         num_hosts: int = 1,
+        on_failure: str = "raise",
         log: Log | None = None,
     ):
+        if on_failure not in ("raise", "partial"):
+            raise ValueError("on_failure must be 'raise' or 'partial'")
         self.grid = grid
         self.params = params
         self.integrate_fn = integrate_fn
         self.unit_size = int(unit_size)
         self.max_retries = int(max_retries)
-        self.checkpoint_path = checkpoint_path
+        self._base_checkpoint_path = checkpoint_path
         self.checkpoint_every = int(checkpoint_every)
         self.host_id = int(host_id)
         self.num_hosts = int(num_hosts)
+        self.on_failure = on_failure
         self.log = log or Log()
         self.completed_units: set[int] = set()
         self.failed_units: list[int] = []
 
-    # -- manifest ------------------------------------------------------------
-
     @property
-    def _manifest_path(self) -> str | None:
-        if self.checkpoint_path is None:
+    def checkpoint_path(self) -> str | None:
+        """Per-host checkpoint file: hosts must never share one path (a
+        resumed host could otherwise load another host's partial volume,
+        which still "matches" the grid/params check)."""
+        if self._base_checkpoint_path is None:
             return None
-        return self.checkpoint_path + f".manifest.{self.host_id}.json"
+        if self.num_hosts == 1:
+            return self._base_checkpoint_path
+        return f"{self._base_checkpoint_path}.h{self.host_id}"
 
-    def _save_manifest(self) -> None:
-        if self._manifest_path is None:
-            return
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "completed_units": sorted(self.completed_units),
-                    "host_id": self.host_id,
-                    "num_hosts": self.num_hosts,
-                    "unit_size": self.unit_size,
-                },
-                f,
-            )
-        os.replace(tmp, self._manifest_path)
+    # -- checkpoint ----------------------------------------------------------
 
-    def _load_manifest(self) -> None:
-        if self._manifest_path is None or not os.path.exists(self._manifest_path):
-            return
-        with open(self._manifest_path) as f:
-            m = json.load(f)
-        if m.get("unit_size") != self.unit_size or m.get("num_hosts") != self.num_hosts:
-            self.log.info("manifest layout changed; restarting from scratch")
-            return
-        self.completed_units = set(m.get("completed_units", []))
+    def _layout(self) -> dict:
+        return {
+            "unit_size": self.unit_size,
+            "num_hosts": self.num_hosts,
+            "host_id": self.host_id,
+        }
 
-    # -- run -----------------------------------------------------------------
-
-    def _checkpoint(self, volume, n_views: int) -> None:
+    def _checkpoint(self, volume: np.ndarray, n_views: int) -> None:
         by_id = {u.unit_id: u for u in _units_for(n_views, self.unit_size)}
         fused = sum(
             by_id[u].stop - by_id[u].start
@@ -128,23 +148,48 @@ class FaultTolerantRunner:
                 views_fused=fused,
                 grid=self.grid,
                 params=self.params,
+                extra={
+                    "runner": {
+                        **self._layout(),
+                        "completed_units": sorted(self.completed_units),
+                    }
+                },
             ),
         )
-        self._save_manifest()
+
+    def _try_resume(self) -> np.ndarray | None:
+        """Returns the resumed volume, or None to start from scratch.
+
+        Volume and completed-unit set are accepted or rejected TOGETHER:
+        a checkpoint without matching unit bookkeeping is discarded so its
+        volume cannot be double-fused."""
+        path = self.checkpoint_path
+        if path is None or not os.path.exists(path):
+            return None
+        ckpt = load_checkpoint(path)
+        if not ckpt.matches(self.grid, self.params):
+            self.log.info("checkpoint does not match configuration; ignoring")
+            return None
+        book = ckpt.extra.get("runner")
+        if book is None or {
+            k: book.get(k) for k in ("unit_size", "num_hosts", "host_id")
+        } != self._layout():
+            self.log.info(
+                "checkpoint unit layout changed; restarting from scratch"
+            )
+            return None
+        self.completed_units = set(book.get("completed_units", []))
+        self.log.info(
+            f"resumed: {len(self.completed_units)} units already fused"
+        )
+        return ckpt.volume
+
+    # -- run -----------------------------------------------------------------
 
     def run(self, views: Sequence, resume: bool = True) -> np.ndarray:
         """Fuse this host's share of `views`; returns the host's volume."""
-        volume = None
-        if resume and self.checkpoint_path and os.path.exists(self.checkpoint_path):
-            ckpt = load_checkpoint(self.checkpoint_path)
-            if ckpt.matches(self.grid, self.params):
-                volume = ckpt.volume
-                self._load_manifest()
-                self.log.info(
-                    f"resumed: {len(self.completed_units)} units already fused"
-                )
-            else:
-                self.log.info("checkpoint does not match configuration; ignoring")
+        volume = self._try_resume() if resume else None
+        self.failed_units = []
 
         units = [
             u
@@ -154,20 +199,29 @@ class FaultTolerantRunner:
         ]
         done_since_ckpt = 0
         for unit in units:
+            # Pre-attempt snapshot: integrate_fn may donate/mutate its input
+            # (e.g. _integrate_batched donates the device volume) or fail
+            # after partial accumulation; every attempt restarts from here.
+            snapshot = None if volume is None else np.array(volume, copy=True)
             ok = False
             for attempt in range(self.max_retries):
                 try:
                     batch = [views[i] for i in range(unit.start, unit.stop)]
-                    volume = self.integrate_fn(volume, batch)
+                    seed = (
+                        None if snapshot is None
+                        else np.array(snapshot, copy=True)
+                    )
+                    volume = self.integrate_fn(seed, batch)
                     ok = True
                     break
-                except Exception as e:  # unit is idempotent: safe to retry
+                except Exception as e:
                     self.log.always(
                         f"unit {unit.unit_id} attempt {attempt + 1} failed: {e}"
                     )
                     time.sleep(0.01 * (attempt + 1))
             if not ok:
                 self.failed_units.append(unit.unit_id)
+                volume = snapshot  # unit contributed nothing
                 continue
             self.completed_units.add(unit.unit_id)
             done_since_ckpt += 1
@@ -180,8 +234,11 @@ class FaultTolerantRunner:
         if self.checkpoint_path and done_since_ckpt:
             self._checkpoint(volume, len(views))
         if self.failed_units:
+            if self.on_failure == "raise":
+                raise FusionUnitError(self.failed_units)
             self.log.always(
-                f"WARNING: units failed after retries: {self.failed_units}"
+                f"WARNING: units failed after retries: {self.failed_units}; "
+                f"returning PARTIAL volume (on_failure='partial')"
             )
         if volume is None:
             volume = np.zeros(self.grid.volume_shape, np.float32)

@@ -1,10 +1,14 @@
 """Fault-tolerant runner: retries, resume, multi-host striping."""
 
 import numpy as np
+import pytest
 
 from cudadepthmapintegration_tpu.core import RayPotential, VoxelGrid
 from cudadepthmapintegration_tpu.ops import TSDFIntegrator, integrate_views_oracle
-from cudadepthmapintegration_tpu.pipeline.runner import FaultTolerantRunner
+from cudadepthmapintegration_tpu.pipeline.runner import (
+    FaultTolerantRunner,
+    FusionUnitError,
+)
 from cudadepthmapintegration_tpu.testing import sphere_scene
 
 PARAMS = RayPotential(thick=0.1, rho=0.8, eta=0.03, delta=0.3)
@@ -50,7 +54,7 @@ def test_runner_retries_transient_failures():
     assert not runner.failed_units
 
 
-def test_runner_reports_permanent_failures():
+def test_runner_raises_on_permanent_failures_by_default():
     views = sphere_scene(n_views=4, width=64, height=48)
     grid = grid16()
 
@@ -60,8 +64,87 @@ def test_runner_reports_permanent_failures():
     runner = FaultTolerantRunner(
         grid, PARAMS, always_fail, unit_size=2, max_retries=2
     )
+    with pytest.raises(FusionUnitError) as exc:
+        runner.run(views)
+    assert sorted(exc.value.failed_units) == [0, 1]
+
+
+def test_runner_partial_mode_reports_permanent_failures():
+    views = sphere_scene(n_views=4, width=64, height=48)
+    grid = grid16()
+
+    def always_fail(volume, batch):
+        raise RuntimeError("broken")
+
+    runner = FaultTolerantRunner(
+        grid, PARAMS, always_fail, unit_size=2, max_retries=2,
+        on_failure="partial",
+    )
     runner.run(views)
     assert sorted(runner.failed_units) == [0, 1]
+
+
+def test_runner_retry_restarts_from_snapshot():
+    """A unit that mutates the volume in place and THEN fails must not
+    leak its partial accumulation into the retry (non-atomic integrate_fn)."""
+    views = sphere_scene(n_views=4, width=64, height=48)
+    grid = grid16()
+    inner = make_integrate_fn(grid)
+    state = {"sabotage": 1}
+
+    def dirty_then_fail(volume, batch):
+        if state["sabotage"] > 0:
+            state["sabotage"] -= 1
+            if volume is not None:
+                volume += 123.0  # partial, wrong accumulation
+            raise RuntimeError("died mid-unit")
+        return inner(volume, batch)
+
+    runner = FaultTolerantRunner(
+        grid, PARAMS, dirty_then_fail, unit_size=2, max_retries=3
+    )
+    vol = runner.run(views)
+    exp = integrate_views_oracle(grid, views, PARAMS)
+    np.testing.assert_allclose(vol, exp, atol=1e-9)
+
+
+def test_runner_layout_change_discards_checkpoint(tmp_path):
+    """Same checkpoint path, different unit_size: the volume must NOT be
+    restored with empty bookkeeping (that double-fuses every view)."""
+    views = sphere_scene(n_views=8, width=64, height=48)
+    grid = grid16()
+    ckpt = str(tmp_path / "run.ckpt")
+    r1 = FaultTolerantRunner(
+        grid, PARAMS, make_integrate_fn(grid), unit_size=2,
+        checkpoint_path=ckpt,
+    )
+    r1.run(views)
+    r2 = FaultTolerantRunner(
+        grid, PARAMS, make_integrate_fn(grid), unit_size=4,
+        checkpoint_path=ckpt,
+    )
+    vol = r2.run(views)  # resumes -> layout mismatch -> clean restart
+    exp = integrate_views_oracle(grid, views, PARAMS)
+    np.testing.assert_allclose(vol, exp, atol=1e-9)
+
+
+def test_runner_multi_host_checkpoint_paths_are_distinct(tmp_path):
+    views = sphere_scene(n_views=8, width=64, height=48)
+    grid = grid16()
+    ckpt = str(tmp_path / "run.ckpt")
+    partials = []
+    for host in range(2):
+        r = FaultTolerantRunner(
+            grid, PARAMS, make_integrate_fn(grid), unit_size=2,
+            host_id=host, num_hosts=2, checkpoint_path=ckpt,
+        )
+        assert r.checkpoint_path == f"{ckpt}.h{host}"
+        partials.append(r.run(views))
+    assert (tmp_path / "run.ckpt.h0").exists()
+    assert (tmp_path / "run.ckpt.h1").exists()
+    combined = partials[0] + partials[1]
+    exp = integrate_views_oracle(grid, views, PARAMS)
+    np.testing.assert_allclose(combined, exp, atol=1e-9)
 
 
 def test_runner_resume_from_checkpoint(tmp_path):
@@ -81,7 +164,8 @@ def test_runner_resume_from_checkpoint(tmp_path):
     r1 = FaultTolerantRunner(
         grid, PARAMS, crashy, unit_size=2, max_retries=1, checkpoint_path=ckpt
     )
-    r1.run(views)
+    with pytest.raises(FusionUnitError):
+        r1.run(views)
     assert len(r1.completed_units) == 2
 
     # Second run resumes and completes only the remaining units.
