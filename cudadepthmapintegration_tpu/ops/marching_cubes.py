@@ -172,6 +172,7 @@ def marching_cubes(
     zs: np.ndarray,
     matrix: np.ndarray | None = None,
     backend: str = "auto",
+    _return_soup: bool = False,
 ) -> PolyData:
     """Extract the `iso` isosurface of a (nz, ny, nx) point-scalar volume.
 
@@ -182,6 +183,11 @@ def marching_cubes(
     'auto' (native when the library is built, else jax). Meshing runs once
     per reconstruction, on host-resident data; the C++ walker avoids both a
     device round-trip and an XLA gather-bound compact pass.
+
+    ``_return_soup=True`` skips welding and returns the raw
+    ``(verts (M, 3), keys (M,))`` triangle soup with volume-local edge keys
+    — for callers (sparse per-block / sharded slab extraction) that
+    translate keys to a global domain and weld once at the end.
     """
     if backend == "auto":
         from .. import native
@@ -192,6 +198,8 @@ def marching_cubes(
 
         pv_np = np.asarray(point_volume, np.float64)
         verts, keys = native.marching_cubes_f64(pv_np, iso, xs, ys, zs)
+        if _return_soup:
+            return verts.reshape(-1, 3), keys.reshape(-1)
         return _weld_triangle_soup(
             verts.reshape(-1, 3), keys.reshape(-1), matrix
         )
@@ -201,6 +209,8 @@ def marching_cubes(
     kk, jj, ii = np.nonzero((cfg != 0) & (cfg != 255))
     n_active = kk.shape[0]
     if n_active == 0:
+        if _return_soup:
+            return np.zeros((0, 3)), np.zeros((0,), np.int64)
         return PolyData(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
 
     pad = _pad_to(n_active)
@@ -230,6 +240,8 @@ def marching_cubes(
     flat_keys = keys.reshape(-1)
     flat_verts = verts.reshape(-1, 3)
     flat_valid = valid.reshape(-1)
+    if _return_soup:
+        return flat_verts[flat_valid], flat_keys[flat_valid]
     return _weld_triangle_soup(
         flat_verts[flat_valid], flat_keys[flat_valid], matrix
     )

@@ -12,18 +12,34 @@ TPU-style:
   slot map lives on the host (pure bookkeeping);
 * per frame: the host back-projects (subsampled) depth pixels, walks the
   ±delta band along each ray, and allocates the touched blocks; the device
-  then integrates the frame into the touched slots only, with the same
-  separable-projection + masked ray-potential math as the dense path
-  (identical numerics — an allocated block fuses exactly like the dense
-  grid would).
+  then integrates the frame into the union of the touched slots and every
+  already-allocated block inside the frame's frustum (``carve=True``), with
+  the same separable-projection + masked ray-potential math as the dense
+  path. Frustum re-integration matters: the dense kernel applies the
+  ``-eta*rho`` empty-space vote to every voxel in front of the surface
+  (``CudaReconstruction.cu:114-115``), so an allocated block sitting in a
+  later frame's free space must receive that vote too.
 
-Values outside the band are never stored (classic TSDF-hashing trade-off):
-isosurface extraction over allocated blocks is exact because the crossing
-lives inside the band.
+Parity contract (tested): once a block is allocated, every SUBSEQUENT frame
+contributes to it exactly as the dense grid would. Frames fused BEFORE a
+block's allocation contribute nothing to it — in the dense path those early
+contributions are free-space/invisible votes only (the block was outside
+every earlier band), so late-allocated blocks can sit slightly above their
+dense value. Pre-walking a known trajectory with :meth:`preallocate` makes
+sparse == dense exactly.
+
+Isosurface extraction is PER BLOCK (memory ∝ allocated blocks, never the
+bounding box): each block contours its own cells with a 1-cell halo from
+its neighbors; cell->point averaging is MASKED to allocated cells, so the
+fabricated 0.0 of unallocated space never enters a point value and the
+allocation boundary cannot emit spurious zero-crossing sheets; vertices
+are welded across blocks by canonical global edge keys (exact integer
+identity, same scheme as ``parallel/sharded_mesh.py``).
 """
 
 from __future__ import annotations
 
+import itertools
 from functools import partial
 
 import jax
@@ -100,6 +116,8 @@ class SparseTSDFGrid:
         self.capacity = int(capacity)
         self.pixel_stride = int(pixel_stride)
         self.block_map: dict[tuple[int, int, int], int] = {}
+        self._free_slots: list[int] = []
+        self._next_slot = 0
         bz, by, bx = self.block_shape
         self.pool = jnp.zeros((self.capacity, bz, by, bx), jnp.float32)
         bmax = max(self.block_shape)
@@ -111,6 +129,14 @@ class SparseTSDFGrid:
     @property
     def num_allocated(self) -> int:
         return len(self.block_map)
+
+    @property
+    def _block_extent(self) -> np.ndarray:
+        """Block world extent per axis, (x, y, z) order."""
+        return np.array(
+            [self.block_shape[2], self.block_shape[1], self.block_shape[0]],
+            np.float64,
+        ) * self.voxel_size
 
     # -- allocation ----------------------------------------------------------
 
@@ -135,10 +161,7 @@ class SparseTSDFGrid:
         rt = view.camera.rt
         r_inv = rt[:3, :3].T
         cam_origin = -r_inv @ rt[:3, 3]
-        bs = np.array(
-            [self.block_shape[2], self.block_shape[1], self.block_shape[0]],
-            np.float64,
-        ) * self.voxel_size  # block extent in (x, y, z)
+        bs = self._block_extent
         delta = self.params.delta
         n_steps = max(2, int(np.ceil(2 * delta / min(bs))) + 2)
         touched: set[tuple[int, int, int]] = set()
@@ -150,13 +173,54 @@ class SparseTSDFGrid:
             touched.update(map(tuple, np.unique(coords, axis=0)))
         return touched
 
+    def _allocated_in_frustum(
+        self, view: DepthMapView
+    ) -> list[tuple[int, int, int]]:
+        """Already-allocated blocks that may project into `view`'s image.
+
+        Conservative 8-corner test: a block is kept when any corner is in
+        front of the camera and the projected corner bbox overlaps the
+        image (blocks straddling the camera plane are always kept — their
+        projection is unbounded). Over-inclusion is harmless: the
+        integrate kernel computes a zero/invalid contribution per voxel."""
+        if not self.block_map:
+            return []
+        coords = np.array(list(self.block_map.keys()), np.float64)  # (N, 3)
+        bs = self._block_extent
+        corner_off = np.array(
+            list(itertools.product((0.0, 1.0), repeat=3)), np.float64
+        )  # (8, 3)
+        world = (coords[:, None, :] + corner_off[None, :, :]) * bs  # (N, 8, 3)
+        p, cam_row = compose_projection(view.camera, None)
+        hom = world @ p[:3, :3].T + p[:3, 3]  # (N, 8, 3)
+        front = hom[..., 2] > 0
+        any_front = front.any(axis=1)
+        all_front = front.all(axis=1)
+        z = np.where(front, hom[..., 2], 1.0)
+        u = np.where(front, hom[..., 0] / z, 0.0)
+        v = np.where(front, hom[..., 1] / z, 0.0)
+        h, w = view.depth.shape
+        big = 1e18
+        u_lo = np.where(front, u, big).min(axis=1)
+        u_hi = np.where(front, u, -big).max(axis=1)
+        v_lo = np.where(front, v, big).min(axis=1)
+        v_hi = np.where(front, v, -big).max(axis=1)
+        overlaps = (u_hi >= -1) & (u_lo < w + 1) & (v_hi >= -1) & (v_lo < h + 1)
+        keep = any_front & (overlaps | ~all_front)
+        keys = list(self.block_map.keys())
+        return [keys[i] for i in np.nonzero(keep)[0]]
+
     def _allocate(self, coords) -> np.ndarray:
         slots = []
         for c in coords:
             slot = self.block_map.get(c)
             if slot is None:
-                slot = len(self.block_map)
-                if slot >= self.capacity:
+                if self._free_slots:
+                    slot = self._free_slots.pop()
+                elif self._next_slot < self.capacity:
+                    slot = self._next_slot
+                    self._next_slot += 1
+                else:
                     raise RuntimeError(
                         f"sparse block pool exhausted (capacity {self.capacity})"
                     )
@@ -164,16 +228,79 @@ class SparseTSDFGrid:
             slots.append(slot)
         return np.asarray(slots, np.int32)
 
+    def preallocate(self, views) -> int:
+        """Allocate the truncation-band blocks of every view WITHOUT fusing.
+
+        For a known trajectory this makes subsequent carved fusion EXACTLY
+        equal to the dense path on allocated voxels (no late-allocation
+        gap). Returns the number of allocated blocks."""
+        for v in views:
+            self._allocate(sorted(self._touched_blocks(v)))
+        return self.num_allocated
+
+    # -- eviction ------------------------------------------------------------
+
+    def evict_blocks(self, coords) -> int:
+        """Remove blocks; their pool slots are zeroed and recycled.
+
+        A re-observed evicted block reallocates from zero (its history is
+        gone) — the standard streaming trade-off; only evict blocks that
+        are out of the working set or carry no surface (see
+        :meth:`evict_deep_free_space`)."""
+        slots = []
+        for c in coords:
+            slot = self.block_map.pop(tuple(c), None)
+            if slot is not None:
+                slots.append(slot)
+                self._free_slots.append(slot)
+        if slots:
+            self.pool = self.pool.at[jnp.asarray(np.asarray(slots))].set(0.0)
+        return len(slots)
+
+    def evict_deep_free_space(self, threshold: float | None = None) -> int:
+        """Evict blocks whose every voxel is at or below `threshold`
+        (deeply carved free space: no sign crossing can touch them).
+
+        Default threshold: two full empty-space votes (-2*eta*rho)."""
+        if threshold is None:
+            threshold = -2.0 * self.params.eta * self.params.rho
+        if not self.block_map:
+            return 0
+        pool = np.asarray(jax.device_get(self.pool))
+        coords = [
+            c
+            for c, slot in self.block_map.items()
+            if pool[slot].max() <= threshold
+        ]
+        return self.evict_blocks(coords)
+
     # -- fusion --------------------------------------------------------------
 
-    def integrate_frame(self, view: DepthMapView,
-                        threshold_best_cost: float | None = None):
-        """Fuse one RGB-D frame; allocates band blocks on the fly."""
+    def integrate_frame(
+        self,
+        view: DepthMapView,
+        threshold_best_cost: float | None = None,
+        carve: bool = True,
+    ):
+        """Fuse one RGB-D frame; allocates band blocks on the fly.
+
+        carve=True (default, dense-parity behavior) also re-integrates every
+        already-allocated block inside this frame's frustum, so blocks in
+        the frame's free space receive the ``-eta*rho`` carve vote exactly
+        like the dense kernel (``CudaReconstruction.cu:114-115``).
+        carve=False restores band-only updates (cheaper; documented
+        divergence from dense values in multi-viewpoint sequences)."""
         if threshold_best_cost is not None:
             view = view.thresholded(threshold_best_cost)
-        coords = sorted(self._touched_blocks(view))
-        if not coords:
+        band = self._touched_blocks(view)
+        if not band and not (carve and self.block_map):
             return self
+        coords_set = set(band)
+        if carve:
+            coords_set.update(self._allocated_in_frustum(view))
+        if not coords_set:
+            return self
+        coords = sorted(coords_set)
         slots = self._allocate(coords)
         # Bucket the block count to limit jit recompiles across frames:
         # padded entries use slot == capacity, which jnp gathers clamp
@@ -186,11 +313,9 @@ class SparseTSDFGrid:
                 [slots, np.full(pad, self.capacity, np.int32)]
             )
             coords = list(coords) + [(0, 0, 0)] * pad
-        bs = np.array(
-            [self.block_shape[2], self.block_shape[1], self.block_shape[0]],
-            np.float64,
-        ) * self.voxel_size
-        origins = (np.array(coords, np.float64) * bs).astype(np.float32)
+        origins = (np.array(coords, np.float64) * self._block_extent).astype(
+            np.float32
+        )
         p, cam_row = compose_projection(view.camera, None)
         proj_rows = np.vstack([p[:3, :], cam_row[None, :]]).astype(np.float32)
         h, w = view.depth.shape
@@ -211,7 +336,7 @@ class SparseTSDFGrid:
     # -- extraction ----------------------------------------------------------
 
     def allocated_bounds(self):
-        """((zmin, ymin, xmin), (zmax, ymax, xmax)) in block coords, or None."""
+        """((xmin, ymin, zmin), (xmax, ymax, zmax)) in block coords, or None."""
         if not self.block_map:
             return None
         arr = np.array(list(self.block_map.keys()))  # (N, 3) as (x, y, z)
@@ -219,36 +344,139 @@ class SparseTSDFGrid:
         hi = arr.max(axis=0)
         return lo, hi
 
+    def _bbox_grid(self) -> VoxelGrid:
+        """VoxelGrid of the allocated bounding box (the global key/coordinate
+        domain for meshing and `to_dense`)."""
+        lo, hi = self.allocated_bounds()
+        nbx, nby, nbz = (hi - lo) + 1
+        bz, by, bx = self.block_shape
+        origin = (
+            lo[0] * bx * self.voxel_size,
+            lo[1] * by * self.voxel_size,
+            lo[2] * bz * self.voxel_size,
+        )
+        return VoxelGrid(
+            dims=(nbx * bx + 1, nby * by + 1, nbz * bz + 1),
+            origin=origin,
+            spacing=(self.voxel_size,) * 3,
+        )
+
     def to_dense(self) -> tuple[np.ndarray, VoxelGrid]:
         """Materialize allocated blocks into a dense (cz, cy, cx) volume +
-        its VoxelGrid (for meshing / interop). Unallocated space is 0."""
+        its VoxelGrid (for parity tests / interop on SMALL scenes — memory
+        is the bounding box; meshing does NOT use this, see extract_mesh).
+        Unallocated space is 0."""
         bounds = self.allocated_bounds()
         if bounds is None:
             raise ValueError("no blocks allocated")
-        lo, hi = bounds
-        nbx, nby, nbz = (hi - lo) + 1
+        lo, _ = bounds
+        grid = self._bbox_grid()
         bz, by, bx = self.block_shape
-        dense = np.zeros((nbz * bz, nby * by, nbx * bx), np.float32)
+        dense = np.zeros(grid.volume_shape, np.float32)
         pool = np.asarray(jax.device_get(self.pool))
         for (cx_, cy_, cz_), slot in self.block_map.items():
             iz = (cz_ - lo[2]) * bz
             iy = (cy_ - lo[1]) * by
             ix = (cx_ - lo[0]) * bx
             dense[iz : iz + bz, iy : iy + by, ix : ix + bx] = pool[slot]
-        origin = (
-            lo[0] * bx * self.voxel_size,
-            lo[1] * by * self.voxel_size,
-            lo[2] * bz * self.voxel_size,
-        )
-        grid = VoxelGrid(
-            dims=(nbx * bx + 1, nby * by + 1, nbz * bz + 1),
-            origin=origin,
-            spacing=(self.voxel_size,) * 3,
-        )
         return dense, grid
 
-    def extract_mesh(self, iso: float = 0.0) -> PolyData:
-        from .marching_cubes import extract_isosurface
+    def extract_mesh(self, iso: float = 0.0, backend: str = "auto") -> PolyData:
+        """Per-block marching cubes: memory ∝ allocated blocks.
 
-        dense, grid = self.to_dense()
-        return extract_isosurface(grid, dense, iso)
+        Per block: its own cells + a 1-cell halo gathered from allocated
+        neighbors; cell->point conversion averages ONLY allocated cells
+        (matching ``vtkCellDataToPointData``'s existing-cells semantics at
+        the data boundary, and preventing fabricated-zero crossing sheets
+        at the allocation edge); triangles are emitted per owning cell
+        exactly once; vertices weld across blocks by canonical global edge
+        keys. Where a cell's full 27-neighborhood is allocated the point
+        math is bit-identical to `to_dense()` + dense extraction (fp32
+        averaging in the same add order)."""
+        from .marching_cubes import _weld_triangle_soup, marching_cubes
+
+        if not self.block_map:
+            raise ValueError("no blocks allocated")
+        lo, _ = self.allocated_bounds()
+        grid = self._bbox_grid()
+        nx, ny, nz = grid.point_shape[2], grid.point_shape[1], grid.point_shape[0]
+        xs, ys, zs = grid.point_axes(np.float32)
+        bz, by, bx = self.block_shape
+        pool = np.asarray(jax.device_get(self.pool))
+
+        # (bz+2, by+2, bx+2) halo source slices per neighbor offset.
+        def _slices(d, n):
+            if d < 0:
+                return slice(n - 1, n), slice(0, 1)
+            if d == 0:
+                return slice(0, n), slice(1, n + 1)
+            return slice(0, 1), slice(n + 1, n + 2)
+
+        all_verts, all_keys = [], []
+        npts_loc = (bx + 1) * (by + 1) * (bz + 1)
+        for (cx_, cy_, cz_), slot in sorted(self.block_map.items()):
+            cells = np.zeros((bz + 2, by + 2, bx + 2), np.float32)
+            present = np.zeros((bz + 2, by + 2, bx + 2), bool)
+            for dz, dy, dx in itertools.product((-1, 0, 1), repeat=3):
+                nb = (
+                    pool[slot]
+                    if (dz, dy, dx) == (0, 0, 0)
+                    else None
+                )
+                if nb is None:
+                    ns = self.block_map.get((cx_ + dx, cy_ + dy, cz_ + dz))
+                    if ns is None:
+                        continue
+                    nb = pool[ns]
+                sz, tz_ = _slices(dz, bz)
+                sy, ty_ = _slices(dy, by)
+                sx, tx_ = _slices(dx, bx)
+                cells[tz_, ty_, tx_] = nb[sz, sy, sx]
+                present[tz_, ty_, tx_] = True
+
+            # Masked cell->point averaging, fp32 adds in cell_to_point's
+            # (dz, dy, dx) order so fully-allocated neighborhoods match the
+            # dense path bit-for-bit.
+            tot = np.zeros((bz + 1, by + 1, bx + 1), np.float32)
+            cnt = np.zeros((bz + 1, by + 1, bx + 1), np.float32)
+            for dz in (0, 1):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        tot = tot + cells[dz : dz + bz + 1, dy : dy + by + 1,
+                                          dx : dx + bx + 1]
+                        cnt = cnt + present[dz : dz + bz + 1, dy : dy + by + 1,
+                                            dx : dx + bx + 1].astype(np.float32)
+            pts = tot / np.maximum(cnt, 1.0)
+
+            iz0 = (cz_ - lo[2]) * bz
+            iy0 = (cy_ - lo[1]) * by
+            ix0 = (cx_ - lo[0]) * bx
+            sub = marching_cubes(
+                pts, iso,
+                xs[ix0 : ix0 + bx + 1],
+                ys[iy0 : iy0 + by + 1],
+                zs[iz0 : iz0 + bz + 1],
+                matrix=None,
+                backend=backend,
+                _return_soup=True,
+            )
+            verts, keys = sub
+            if len(keys) == 0:
+                continue
+            # Local edge keys -> global bbox-domain keys (same decomposition
+            # as parallel/sharded_mesh.py's slab weld).
+            axis = keys // npts_loc
+            flat = keys % npts_loc
+            kk = flat // ((bx + 1) * (by + 1)) + iz0
+            rem = flat % ((bx + 1) * (by + 1))
+            jj = rem // (bx + 1) + iy0
+            ii = rem % (bx + 1) + ix0
+            gkeys = axis * (nx * ny * nz) + (kk * ny + jj) * nx + ii
+            all_verts.append(verts)
+            all_keys.append(gkeys)
+
+        if not all_verts:
+            return PolyData(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+        return _weld_triangle_soup(
+            np.concatenate(all_verts), np.concatenate(all_keys), grid.matrix
+        )

@@ -65,3 +65,145 @@ def test_empty_frame_is_noop():
     sparse.integrate_frame(view)
     assert sparse.num_allocated == 0
     assert sparse.frames_fused == 0
+
+
+def _wall_view(eye, wall_depth=8.0, width=96, height=72, focal=80.0):
+    """A view whose every pixel sees a wall at constant camera-space depth:
+    everything nearer is free space (the dense kernel carves it)."""
+    from cudadepthmapintegration_tpu.core import DepthMapView
+    from cudadepthmapintegration_tpu.testing.synthetic import look_at_camera
+
+    cam = look_at_camera(eye, (0.0, 0.0, 0.0), focal=focal,
+                         width=width, height=height)
+    return DepthMapView(
+        depth=np.full((height, width), wall_depth), camera=cam, name="wall"
+    )
+
+
+def test_carving_applies_empty_space_votes_to_earlier_blocks():
+    """Blocks allocated by the sphere frame lie in the wall frame's free
+    space: they must receive the wall's -eta*rho vote (dense parity), which
+    band-only (carve=False) fusion misses (CudaReconstruction.cu:114-115)."""
+    sphere = sphere_scene(n_views=1, width=96, height=72, focal=80.0)[0]
+    wall = _wall_view((0.0, -4.0, 0.0))
+    views = [sphere, wall]
+
+    carved = SparseTSDFGrid(voxel_size=0.1, params=PARAMS, pixel_stride=2)
+    carved.preallocate([sphere])  # wall band (far plane) stays unallocated
+    carved.integrate_frame(sphere)
+    carved.integrate_frame(wall)
+
+    dense, grid = carved.to_dense()
+    expected = integrate_views_oracle(grid, views, PARAMS).astype(np.float32)
+    bz, by, bx = carved.block_shape
+    lo, _ = carved.allocated_bounds()
+    mask = np.zeros(dense.shape, bool)
+    for (cx_, cy_, cz_) in carved.block_map:
+        iz, iy, ix = (cz_ - lo[2]) * bz, (cy_ - lo[1]) * by, (cx_ - lo[0]) * bx
+        mask[iz : iz + bz, iy : iy + by, ix : ix + bx] = True
+    # Preallocated + carved == dense EXACTLY on allocated voxels (fp32).
+    np.testing.assert_allclose(dense[mask], expected[mask], atol=2e-5)
+    # The scenario genuinely exercises carving: some allocated voxels
+    # received the wall's free-space vote.
+    assert (expected[mask] < -PARAMS.eta * PARAMS.rho * 0.9).any()
+
+    # Band-only fusion misses those votes.
+    bandonly = SparseTSDFGrid(voxel_size=0.1, params=PARAMS, pixel_stride=2)
+    bandonly.preallocate([sphere])
+    bandonly.integrate_frame(sphere, carve=False)
+    bandonly.integrate_frame(wall, carve=False)
+    dense_b, _ = bandonly.to_dense()
+    assert np.abs(dense_b[mask] - expected[mask]).max() > PARAMS.eta * PARAMS.rho * 0.5
+
+
+def test_per_block_mesh_matches_dense_extraction():
+    """Per-block extraction (halos + global weld keys) must reproduce the
+    dense bounding-box extraction exactly where the surface is interior."""
+    from cudadepthmapintegration_tpu.ops.marching_cubes import extract_isosurface
+
+    views = sphere_scene(n_views=8, width=96, height=72, focal=80.0)
+    sparse = SparseTSDFGrid(voxel_size=0.08, params=PARAMS, pixel_stride=2)
+    sparse.preallocate(views)
+    for v in views:
+        sparse.integrate_frame(v)
+    mesh = sparse.extract_mesh(iso=1.0)
+    dense, grid = sparse.to_dense()
+    ref = extract_isosurface(grid, dense, 1.0)
+
+    assert mesh.num_triangles > 100
+
+    def canon(pd):
+        pts = np.round(np.asarray(pd.points, np.float64), 9)
+        tris = np.asarray(pd.triangles)
+        tri_pts = pts[tris].reshape(len(tris), -1)
+        order = np.lexsort(tri_pts.T[::-1])
+        return tri_pts[order]
+
+    a, b = canon(mesh), canon(ref)
+    # The dense path may add junk sheets at the allocation boundary (the
+    # known fabricated-zero artifact) — every sparse triangle must appear
+    # in the dense output, and all NEAR-SURFACE dense triangles in sparse.
+    assert a.shape[0] <= b.shape[0]
+    b_set = {tuple(r) for r in b}
+    assert all(tuple(r) in b_set for r in a)
+    a_set = {tuple(r) for r in a}
+    near = [r for r in b if abs(np.linalg.norm(r[:3]) - 1.0) < 0.3]
+    assert near and all(tuple(r) in a_set for r in near)
+
+
+def test_per_block_mesh_has_no_allocation_boundary_junk():
+    """The exact artifact of the round-1 review: a carved (all-negative)
+    block next to UNALLOCATED space must emit nothing at iso=0 — the
+    fabricated 0.0 of unallocated cells is not data. The dense bounding-box
+    densification of the same state emits boundary sheets (the bug being
+    guarded against)."""
+    import jax.numpy as jnp
+
+    from cudadepthmapintegration_tpu.ops.marching_cubes import extract_isosurface
+
+    sparse = SparseTSDFGrid(voxel_size=0.1, params=PARAMS)
+    # Two diagonal blocks so the bounding box contains unallocated space.
+    sparse._allocate([(0, 0, 0), (2, 2, 2)])
+    sparse.pool = sparse.pool.at[jnp.asarray([0, 1])].set(-1.0)
+
+    mesh = sparse.extract_mesh(iso=0.0)
+    assert mesh.num_triangles == 0  # nothing crosses zero in the data
+
+    dense, grid = sparse.to_dense()
+    ref = extract_isosurface(grid, dense, 0.0)
+    assert ref.num_triangles > 0  # fabricated sheets at the allocation edge
+
+
+def test_eviction_recycles_slots():
+    views = sphere_scene(n_views=4, width=96, height=72, focal=80.0)
+    sparse = SparseTSDFGrid(voxel_size=0.1, params=PARAMS, pixel_stride=2)
+    for v in views:
+        sparse.integrate_frame(v)
+    # Plant blocks in free space near the origin-facing axis; two wall
+    # views (everything near is free space) drive them to -2*eta*rho,
+    # the default evictability floor.
+    planted = [(2, -1, -1), (2, 0, -1), (2, -1, 0), (2, 0, 0)]
+    sparse._allocate(planted)
+    sparse.integrate_frame(_wall_view((0.0, -5.0, 0.0)))
+    sparse.integrate_frame(_wall_view((-5.0, 0.0, 0.0)))
+    n0 = sparse.num_allocated
+    evicted = sparse.evict_deep_free_space()
+    assert evicted >= len(planted)
+    # Surface-crossing blocks (positive values) survive.
+    assert all(tuple(c) not in sparse.block_map for c in planted)
+    pool = np.asarray(sparse.pool)
+    assert any(
+        pool[s].max() > 0.5 for s in sparse.block_map.values()
+    )
+    assert sparse.num_allocated == n0 - evicted
+    assert len(sparse._free_slots) == evicted
+    # Evicted slots were zeroed on device.
+    pool = np.asarray(sparse.pool)
+    for s in sparse._free_slots:
+        assert (pool[s] == 0).all()
+    # Reallocation reuses freed slots; the mesh still reconstructs.
+    for v in views:
+        sparse.integrate_frame(v)
+    assert sparse._next_slot <= n0 + 1
+    mesh = sparse.extract_mesh(iso=1.0)
+    assert mesh.num_triangles > 100
