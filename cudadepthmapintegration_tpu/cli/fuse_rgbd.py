@@ -131,7 +131,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.maxFrames is not None:
         n = min(n, args.maxFrames * args.frameStride)
     t0 = time.perf_counter()
-    fused_views = []
+    fused_indices = []
     for i, frame in enumerate(prefetch_views(dataset)):
         if i >= n:
             break
@@ -139,7 +139,7 @@ def main(argv: list[str] | None = None) -> int:
             continue
         sparse.integrate_frame(frame, threshold_best_cost=args.threshBestCost)
         if args.colorize:
-            fused_views.append(frame)
+            fused_indices.append(i)
         log.progress(i + 1, n)
     dt = time.perf_counter() - t0
     log.info("")
@@ -154,11 +154,22 @@ def main(argv: list[str] | None = None) -> int:
 
     with log.phase("Extract mesh"):
         mesh = sparse.extract_mesh(iso=args.contour)
-    if args.colorize and fused_views:
+    if args.colorize and fused_indices:
         from ..ops.coloration import colorize_mesh
 
+        # Second streaming pass: frames are RE-READ from the dataset in
+        # view_chunk batches, so host memory stays O(one batch) instead of
+        # retaining every fused frame (a 3000-frame TUM sequence would
+        # otherwise hold ~5 GB).
+        class _LazyFusedViews:
+            def __len__(self_inner):
+                return len(fused_indices)
+
+            def __getitem__(self_inner, j):
+                return dataset[fused_indices[j]]
+
         with log.phase("Colorize"):
-            mesh = colorize_mesh(mesh, fused_views)
+            mesh = colorize_mesh(mesh, _LazyFusedViews(), view_chunk=32)
     from ..io.polydata import write_vtp
 
     write_vtp(args.output, mesh)

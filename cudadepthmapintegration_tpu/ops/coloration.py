@@ -3,7 +3,14 @@
 TPU-native re-design of ``MeshColoration::ProcessColoration``
 (``Coloration/MeshColoration.cxx:98-199``): the reference's O(V x views)
 scalar CPU loop becomes a batched project->gather->masked-reduction over a
-(vertex-chunk, view) lattice.
+(vertex-chunk, view-chunk) lattice.
+
+Memory model (capstone-scale): views are streamed in ``view_chunk`` batches
+— only one batch of color images is ever device-resident (the round-1
+design replicated ALL images on device, ~6 GB at 1000 realistic views).
+Per vertex chunk the gathered SAMPLES (views x chunk x 3 uint8, ~24 MB at
+1000 views x 8k vertices) are kept for the exact masked median; mean and
+count accumulate incrementally.
 
 Reference semantics preserved exactly:
 
@@ -15,9 +22,13 @@ Reference semantics preserved exactly:
 * Bounds test against view-0 dimensions (``MeshColoration.cxx:158-163``).
 * Color gather with the bottom-left y-flip (``ReconstructionData.cxx:107``) —
   absorbed here by loading images top-down.
-* ``MeanColoration``: the reference's ``std::accumulate(..., 0)`` int-init
-  accumulates exactly for uchar-valued doubles, then vtk's SetTuple3 into a
-  uchar array *truncates*; we therefore floor the mean into uint8.
+* ``MeanColoration``: the reference accumulates into an int
+  (``std::accumulate(..., 0)`` — ``MeshColoration.cxx:176-178``), truncating
+  per addition; then vtk's SetTuple3 into a uchar array truncates the mean.
+  For uchar-valued samples per-addition truncation is lossless (sums stay
+  exact in f32 up to 2^24), so the default float mean + final floor is
+  bit-equal; ``compat_int_mean=True`` forces the reference's int32 numerator
+  anyway, for bit-parity on any hypothetical non-integer input.
 * ``MedianColoration``: sort + middle; even counts average the two middle
   values (``Sources/Helper.h:174-187``), then truncate to uint8.
 * ``NbProjectedDepthMap``: int count of in-bounds projections.
@@ -39,10 +50,11 @@ __all__ = ["colorize_mesh", "colorize_points"]
 
 
 @partial(jax.jit, static_argnames=("h", "w", "z_test"))
-def _colorize_chunk(points, proj, colors_flat, h, w, z_test):
-    """points (N, 3); proj (V, 3, 4); colors_flat (V, h*w, 3) uint8.
+def _gather_chunk(points, proj, colors_flat, h, w, z_test):
+    """points (N, 3); proj (Vc, 3, 4); colors_flat (Vc, h*w, 3) uint8.
 
-    Returns mean (N, 3) f32, median (N, 3) f32, count (N,) int32.
+    Returns samples (Vc, N, 3) uint8 and valid (Vc, N) bool for one view
+    batch — the project->gather stage of ``MeshColoration.cxx:150-170``.
     """
     # hom[v, n, r] = proj[v, r, :3] @ p + proj[v, r, 3]
     hom = jnp.einsum("vrc,nc->vnr", proj[:, :, :3], points) + proj[:, None, :, 3]
@@ -57,36 +69,53 @@ def _colorize_chunk(points, proj, colors_flat, h, w, z_test):
         valid &= z > 0
     ui = jnp.where(valid, pu, 0).astype(jnp.int32)
     vi = jnp.where(valid, pv, 0).astype(jnp.int32)
-    idx = vi * w + ui  # (V, N)
+    idx = vi * w + ui  # (Vc, N)
     rgb = jnp.take_along_axis(
         colors_flat, idx[..., None].astype(jnp.int32), axis=1
-    ).astype(jnp.float32)  # (V, N, 3)
+    )  # (Vc, N, 3) uint8
+    return rgb, valid
 
-    count = valid.sum(axis=0).astype(jnp.int32)  # (N,)
-    maskf = valid[..., None].astype(jnp.float32)
-    mean = (rgb * maskf).sum(axis=0) / jnp.maximum(count[:, None], 1)
 
-    # Masked median: invalid -> +inf, sort ascending over the view axis, then
-    # the two middle *valid* entries are at (count-1)//2 and count//2.
-    big = jnp.where(valid[..., None], rgb, jnp.inf)
+@jax.jit
+def _median_from_samples(samples, valid):
+    """Masked median over the view axis: samples (V, N, 3) uint8,
+    valid (V, N) bool -> median (N, 3) f32.
+
+    Invalid -> +inf, sort ascending over views, then the two middle *valid*
+    entries are at (count-1)//2 and count//2 (Helper.h:174-187)."""
+    count = valid.sum(axis=0).astype(jnp.int32)
+    big = jnp.where(valid[..., None], samples.astype(jnp.float32), jnp.inf)
     srt = jnp.sort(big, axis=0)  # (V, N, 3)
     lo = jnp.maximum((count - 1) // 2, 0)
     hi = count // 2
     take = lambda i: jnp.take_along_axis(srt, i[None, :, None].repeat(3, 2), axis=0)[0]
     med = 0.5 * (take(lo) + take(hi))
-    med = jnp.where(count[:, None] > 0, med, 0.0)
-    mean = jnp.where(count[:, None] > 0, mean, 0.0)
-    return mean, med, count
+    return jnp.where(count[:, None] > 0, med, 0.0)
+
+
+def _view_proj(v: DepthMapView) -> np.ndarray:
+    return (v.camera.k4 @ v.camera.rt)[:3, :]  # (3, 4)
+
+
+def _view_colors(v: DepthMapView, h: int, w: int) -> np.ndarray:
+    return v.color if v.color is not None else np.zeros((h, w, 3), np.uint8)
 
 
 def colorize_points(
     points: np.ndarray,
-    views: list[DepthMapView],
-    chunk: int = 1 << 16,
+    views,
+    chunk: int = 1 << 13,
+    view_chunk: int = 64,
     z_test: bool = False,
     dtype=np.float32,
+    compat_int_mean: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Color statistics for (N, 3) world points against all views.
+
+    ``views`` is any indexable sequence of DepthMapView (e.g. a lazy
+    dataset): views are loaded/staged ``view_chunk`` at a time, so device
+    (and host, for lazy datasets) memory never holds more than one batch of
+    images.
 
     `dtype` is the projection compute precision: float32 (TPU default) may
     flip a pixel on exact rounding boundaries vs the float64 reference;
@@ -94,63 +123,91 @@ def colorize_points(
 
     Returns (mean_uint8 (N,3), median_uint8 (N,3), count_int32 (N,)).
     """
-    if not views:
+    n_views = len(views)
+    if n_views == 0:
         raise ValueError("no views given for coloration")
     dtype = np.dtype(dtype)
-    h, w = views[0].depth.shape
-    proj = np.stack(
-        [
-            (v.camera.k4 @ v.camera.rt)[:3, :]  # (3, 4)
-            for v in views
-        ]
-    ).astype(np.float64)
-    colors = np.stack(
-        [
-            v.color
-            if v.color is not None
-            else np.zeros((h, w, 3), np.uint8)
-            for v in views
-        ]
-    )
-    colors_flat = jnp.asarray(colors.reshape(len(views), h * w, 3))
-    proj_j = jnp.asarray(proj.astype(dtype))
+    first = views[0]
+    h, w = first.depth.shape
 
     n = points.shape[0]
-    means = np.zeros((n, 3), np.float32)
+    means = np.zeros((n, 3), np.float64)
     meds = np.zeros((n, 3), np.float32)
-    counts = np.zeros((n,), np.int32)
+    counts = np.zeros((n,), np.int64)
     # Bucket the chunk size to powers of two to bound jit recompiles.
     pad_n = min(chunk, max(256, 1 << (max(1, n) - 1).bit_length()))
+    # Pad the view axis of the LAST batch to the batch size (dummy views
+    # with always-out-of-bounds projection) to keep one jit shape.
+    vc = min(view_chunk, n_views)
+
     for start in range(0, n, chunk):
         stop = min(start + chunk, n)
         block = np.zeros((pad_n, 3), dtype)
         block[: stop - start] = points[start:stop]
-        m, md, c = _colorize_chunk(
-            jnp.asarray(block), proj_j, colors_flat, h=h, w=w, z_test=z_test
+        block_j = jnp.asarray(block)
+
+        samples = np.empty((n_views, pad_n, 3), np.uint8)
+        valid = np.empty((n_views, pad_n), bool)
+        for vs in range(0, n_views, vc):
+            ve = min(vs + vc, n_views)
+            batch = [views[i] for i in range(vs, ve)]
+            proj = np.stack([_view_proj(v) for v in batch]).astype(np.float64)
+            colors = np.stack([_view_colors(v, h, w) for v in batch])
+            pad_v = vc - len(batch)
+            if pad_v:
+                # Dummy views: projection row 2 forces u,v out of bounds.
+                dummy = np.zeros((pad_v, 3, 4), np.float64)
+                dummy[:, 2, 3] = 1.0
+                dummy[:, 0, 3] = dummy[:, 1, 3] = -1e9
+                proj = np.concatenate([proj, dummy])
+                colors = np.concatenate(
+                    [colors, np.zeros((pad_v, h, w, 3), np.uint8)]
+                )
+            rgb, ok = _gather_chunk(
+                block_j,
+                jnp.asarray(proj.astype(dtype)),
+                jnp.asarray(colors.reshape(vc, h * w, 3)),
+                h=h, w=w, z_test=z_test,
+            )
+            samples[vs:ve] = np.asarray(rgb)[: ve - vs]
+            valid[vs:ve] = np.asarray(ok)[: ve - vs]
+
+        med = _median_from_samples(jnp.asarray(samples), jnp.asarray(valid))
+        meds[start:stop] = np.asarray(med)[: stop - start]
+        c = valid.sum(axis=0)
+        counts[start:stop] = c[: stop - start]
+        if compat_int_mean:
+            # Reference numerator: int accumulate (MeshColoration.cxx:176-178)
+            # — identical to the float sum for uchar-valued samples.
+            s = (samples.astype(np.int64) * valid[..., None]).sum(axis=0)
+        else:
+            s = (samples.astype(np.float64) * valid[..., None]).sum(axis=0)
+        means[start:stop] = (
+            s[: stop - start] / np.maximum(c[: stop - start, None], 1)
         )
-        means[start:stop] = np.asarray(m)[: stop - start]
-        meds[start:stop] = np.asarray(md)[: stop - start]
-        counts[start:stop] = np.asarray(c)[: stop - start]
 
     # vtk uchar-array SetTuple truncates doubles (MeshColoration.cxx:180,185).
     mean_u8 = np.clip(means, 0, 255).astype(np.uint8)
     med_u8 = np.clip(meds, 0, 255).astype(np.uint8)
-    return mean_u8, med_u8, counts
+    return mean_u8, med_u8, counts.astype(np.int32)
 
 
 def colorize_mesh(
     mesh: PolyData,
-    views: list[DepthMapView],
-    chunk: int = 1 << 16,
+    views,
+    chunk: int = 1 << 13,
+    view_chunk: int = 64,
     z_test: bool = False,
     dtype=np.float32,
+    compat_int_mean: bool = False,
 ) -> PolyData:
     """Attach MeanColoration / MedianColoration / NbProjectedDepthMap arrays
     (names per ``MeshColoration.cxx:113-133``) to a copy of `mesh`."""
     out = PolyData(mesh.points.copy(), mesh.triangles.copy())
     out.point_data = dict(mesh.point_data)
     mean_u8, med_u8, counts = colorize_points(
-        mesh.points, views, chunk=chunk, z_test=z_test, dtype=dtype
+        mesh.points, views, chunk=chunk, view_chunk=view_chunk,
+        z_test=z_test, dtype=dtype, compat_int_mean=compat_int_mean,
     )
     out.point_data["MeanColoration"] = mean_u8
     out.point_data["MedianColoration"] = med_u8

@@ -2,9 +2,14 @@
 
 Coloration is per-vertex independent (``MeshColoration.cxx:140-190``), so it
 shards as pure data parallelism: vertices are partitioned over every device
-of the mesh, color images are replicated, and GSPMD partitions the
-project->gather->reduce body with no communication (results are gathered once
-at the end).
+of the mesh and GSPMD partitions the project->gather->reduce body with no
+communication (results are gathered once at the end).
+
+Views are streamed in ``view_chunk`` batches — only one batch of color
+images is ever replicated across the mesh (a 1000-view rig at 512^2 RGB
+would otherwise replicate ~0.8 GB per chip); gathered samples
+(views x vertices/device x 3 uint8) are what persists for the exact masked
+median, mirroring ``ops/coloration.py``'s single-device streaming layout.
 """
 
 from __future__ import annotations
@@ -14,16 +19,21 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.view import DepthMapView
-from ..ops.coloration import _colorize_chunk
+from ..ops.coloration import (
+    _gather_chunk,
+    _median_from_samples,
+    _view_colors,
+    _view_proj,
+)
 
 __all__ = ["sharded_colorize_points"]
 
 
 def sharded_colorize_points(
     points: np.ndarray,
-    views: list[DepthMapView],
+    views,
     mesh: Mesh,
+    view_chunk: int = 64,
     z_test: bool = False,
     dtype=np.float32,
 ):
@@ -31,7 +41,8 @@ def sharded_colorize_points(
 
     Returns (mean_uint8 (N,3), median_uint8 (N,3), count_int32 (N,)).
     """
-    if not views:
+    n_views = len(views)
+    if n_views == 0:
         raise ValueError("no views given for coloration")
     dtype = np.dtype(dtype)
     h, w = views[0].depth.shape
@@ -41,28 +52,38 @@ def sharded_colorize_points(
     pts = np.zeros((n + pad, 3), dtype)
     pts[:n] = points
 
-    proj = np.stack(
-        [(v.camera.k4 @ v.camera.rt)[:3, :] for v in views]
-    ).astype(dtype)
-    colors = np.stack(
-        [
-            v.color if v.color is not None else np.zeros((h, w, 3), np.uint8)
-            for v in views
-        ]
-    ).reshape(len(views), h * w, 3)
-
     all_axes = tuple(mesh.axis_names)
-    pts_sh = jax.device_put(pts, NamedSharding(mesh, P(all_axes, None)))
+    vert_sh = NamedSharding(mesh, P(all_axes, None))
     repl = NamedSharding(mesh, P())
-    mean, med, count = _colorize_chunk(
-        pts_sh,
-        jax.device_put(proj, repl),
-        jax.device_put(jnp.asarray(colors), repl),
-        h=int(h), w=int(w), z_test=z_test,
+    pts_sh = jax.device_put(pts, vert_sh)
+
+    vc = min(view_chunk, n_views)
+    samples = np.empty((n_views, n + pad, 3), np.uint8)
+    valid = np.empty((n_views, n + pad), bool)
+    for vs in range(0, n_views, vc):
+        ve = min(vs + vc, n_views)
+        batch = [views[i] for i in range(vs, ve)]
+        proj = np.stack([_view_proj(v) for v in batch]).astype(dtype)
+        colors = np.stack([_view_colors(v, h, w) for v in batch])
+        rgb, ok = _gather_chunk(
+            pts_sh,
+            jax.device_put(proj, repl),
+            jax.device_put(
+                jnp.asarray(colors.reshape(len(batch), h * w, 3)), repl
+            ),
+            h=int(h), w=int(w), z_test=z_test,
+        )
+        samples[vs:ve] = np.asarray(rgb)
+        valid[vs:ve] = np.asarray(ok)
+
+    med = _median_from_samples(
+        jax.device_put(samples, NamedSharding(mesh, P(None, all_axes, None))),
+        jax.device_put(valid, NamedSharding(mesh, P(None, all_axes))),
     )
-    mean = np.asarray(mean)[:n]
     med = np.asarray(med)[:n]
-    count = np.asarray(count)[:n]
+    c = valid.sum(axis=0)[:n]
+    s = (samples.astype(np.float64) * valid[..., None]).sum(axis=0)[:n]
+    mean = s / np.maximum(c[:, None], 1)
     mean_u8 = np.clip(mean, 0, 255).astype(np.uint8)
     med_u8 = np.clip(med, 0, 255).astype(np.uint8)
-    return mean_u8, med_u8, count.astype(np.int32)
+    return mean_u8, med_u8, c.astype(np.int32)

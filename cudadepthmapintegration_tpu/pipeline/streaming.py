@@ -45,12 +45,16 @@ def prefetch_views(
                 if i >= n:
                     return
                 next_load["i"] = i + 1
-            # Backpressure: don't run more than `prefetch` ahead.
+            # Backpressure: don't run more than `prefetch` ahead. Pure
+            # condition signaling — the consumer notifies after every
+            # consume and (via finally) on early exit, so no poll timeout.
             with results_lock:
                 while i - consumed["i"] >= prefetch:
-                    results_lock.wait(timeout=0.1)
                     if consumed["i"] >= n:
                         return
+                    results_lock.wait()
+                if consumed["i"] >= n:
+                    return
             try:
                 item: object = dataset[i]
             except Exception as e:  # propagate to consumer in order

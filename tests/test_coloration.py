@@ -109,3 +109,58 @@ def test_even_count_median_averages():
     emean, emed, ecount = coloration_oracle(pts, views)
     np.testing.assert_array_equal(med, emed)
     np.testing.assert_array_equal(mean, emean)
+
+
+def test_view_chunking_matches_single_batch():
+    """Streamed view batches (with a padded last batch) must give results
+    identical to one full batch, for every chunk boundary case."""
+    views = sphere_scene(n_views=7, width=64, height=48)
+    rng = np.random.default_rng(0)
+    for view in views:
+        view.color[:] = rng.integers(0, 256, view.color.shape, dtype=np.uint8)
+    pts = (rng.random((37, 3)) - 0.5) * 2.2
+    ref = colorize_points(pts, views, view_chunk=7)
+    for vc in (1, 2, 3, 7, 64):
+        out = colorize_points(pts, views, view_chunk=vc)
+        for a, b in zip(out, ref):
+            np.testing.assert_array_equal(a, b)
+    # Vertex chunking too.
+    out = colorize_points(pts, views, chunk=8, view_chunk=2)
+    for a, b in zip(out, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_compat_int_mean_matches_float_mean_for_uchar():
+    """The reference's int-accumulate numerator (MeshColoration.cxx:176-178)
+    is lossless for uchar samples: the toggle must not change results."""
+    views = sphere_scene(n_views=5, width=64, height=48)
+    rng = np.random.default_rng(1)
+    for view in views:
+        view.color[:] = rng.integers(0, 256, view.color.shape, dtype=np.uint8)
+    pts = (rng.random((21, 3)) - 0.5) * 2.0
+    a = colorize_points(pts, views, compat_int_mean=False)
+    b = colorize_points(pts, views, compat_int_mean=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_lazy_view_sequence_supported():
+    """colorize_points must accept a lazily-indexed view sequence (the
+    fuse_rgbd second-pass path) and never hold more than a batch."""
+    views = sphere_scene(n_views=6, width=64, height=48)
+    loads = []
+
+    class Lazy:
+        def __len__(self):
+            return len(views)
+
+        def __getitem__(self, i):
+            loads.append(i)
+            return views[i]
+
+    pts = np.array([[0.0, 0.0, 0.0], [0.5, 0.0, 0.0]])
+    out = colorize_points(pts, Lazy(), view_chunk=2)
+    ref = colorize_points(pts, views)
+    for a, b in zip(out, ref):
+        np.testing.assert_array_equal(a, b)
+    assert sorted(set(loads)) == list(range(6))
