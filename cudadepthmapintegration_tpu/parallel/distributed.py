@@ -27,7 +27,13 @@ import os
 
 import jax
 
-__all__ = ["initialize", "is_multihost", "host_view_slice", "topology_summary"]
+__all__ = [
+    "initialize",
+    "is_multihost",
+    "host_view_slice",
+    "all_sum_volume",
+    "topology_summary",
+]
 
 
 def initialize(
@@ -69,6 +75,33 @@ def host_view_slice(n_views: int) -> range:
     start = (n_views * p) // n
     stop = (n_views * (p + 1)) // n
     return range(start, stop)
+
+
+def all_sum_volume(volume):
+    """Sum per-host partial volumes across all processes (replica mode).
+
+    This is the final cross-host reduction of the
+    ``FaultTolerantRunner`` replica model: every host fuses only its
+    striped units into a full-size volume replica, and the true fusion is
+    the elementwise sum of all replicas (order-independent addition,
+    ``CudaReconstruction.cu:211``). Single-process: identity.
+
+    Uses ``process_allgather`` (DCN) — transfer is P x volume once per
+    run, negligible next to fusion; the z-SHARDED mode
+    (parallel/sharded_integrate.py) needs no volume reduction at all and
+    is the preferred layout at scale.
+    """
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return np.asarray(volume)
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    stacked = multihost_utils.process_allgather(
+        jnp.asarray(volume, jnp.float32)
+    )  # (num_processes, cz, cy, cx)
+    return np.asarray(stacked).sum(axis=0)
 
 
 def topology_summary() -> dict:
