@@ -26,6 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tum", type=str, default=None,
                    help="TUM-format dataset directory (depth.txt + "
                         "groundtruth.txt [+ rgb.txt])")
+    p.add_argument("--sens", type=str, default=None,
+                   help="ScanNet-format .sens sensor stream")
     p.add_argument("--vti", type=str, default=None,
                    help="Alternative input: file listing depth-map .vti paths")
     p.add_argument("--krtd", type=str, default=None,
@@ -72,8 +74,10 @@ def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
     log = Log(verbose=args.verbose)
-    if (args.tum is None) == (args.vti is None):
-        print("Error : give exactly one of --tum / --vti", file=sys.stderr)
+    n_inputs = sum(x is not None for x in (args.tum, args.vti, args.sens))
+    if n_inputs != 1:
+        print("Error : give exactly one of --tum / --vti / --sens",
+              file=sys.stderr)
         return 1
     if args.vti is not None and args.krtd is None:
         print("Error : --vti requires --krtd", file=sys.stderr)
@@ -110,6 +114,10 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 intr = TUMIntrinsics.freiburg(int(args.intrinsics[-1]))
             dataset = TUMDataset(args.tum, intrinsics=intr)
+        elif args.sens is not None:
+            from ..io.scannet import ScanNetSensDataset
+
+            dataset = ScanNetSensDataset(args.sens)
         else:
             from ..io.dataset import DepthMapDataset
 
