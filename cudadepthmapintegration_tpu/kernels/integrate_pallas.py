@@ -80,6 +80,155 @@ def _window_pass(depth, rs, cs, ui, vi, sel, d):
     return d
 
 
+def _rowsel_pass(win, t, vi_loc, u_loc, sel_c, d, wr):
+    """One row-select pass: pick image row ``t[s]`` (per voxel row, constant
+    along lanes) out of the (wr, 128) window with a 0/1-matrix MXU matmul,
+    then lane-gather columns — 1 dot + 1 gather instead of 8 gathers + 8
+    selects for the whole window.
+
+    Exactness: the selector is exactly 0.0/1.0 (bf16-exact), so every fp32
+    splitting scheme the MXU uses reproduces the selected depth bit-for-bit
+    (terms are x*1 and x*0); precision=HIGHEST pins the full-width path.
+    Out-of-range t rows produce an all-zero selector and a False match."""
+    sj = vi_loc.shape[0]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (sj, wr), 1)
+    p = (iota_r == t).astype(jnp.float32)  # (sj, wr) one-hot (or zero) rows
+    a = jax.lax.dot_general(
+        p, win, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (sj, 128)
+    g = jnp.take_along_axis(a, u_loc, axis=1)
+    match = sel_c & (vi_loc == t) & (t < wr) & (t >= 0)
+    return jnp.where(match, g, d), match
+
+
+def _integrate_kernel_v2(
+    tx_ref, ty_ref, tz_ref, tc_ref, depth_ref, vol_ref, out_ref,
+    *, h, w, hp, wp, cy, cx, sj, wr, n_wc, n_k, thick, rho, eta, delta,
+):
+    """Row-select-matmul kernel (v2 fast path).
+
+    Same contract as :func:`_integrate_kernel` (the round-1 windowed
+    kernel, kept as ``mode='windows'``), but the (8, 128)-window row
+    gather+select loop is replaced by per-voxel-row selection:
+
+    * orientation grouping keeps image-v nearly constant along the lane
+      axis, so per voxel row the projected v spans only ~n_k distinct
+      values above the row minimum;
+    * a (wr, 128)-row window anchored below the subtile's v minimum is
+      covered by ``n_k`` one-hot matmul passes (``_rowsel_pass``);
+    * everything the static passes miss (v-span > wr, u-span > 128*n_wc,
+      per-row deviation > n_k-1) is EXACTLY covered by a generic
+      while-walk over the bbox of still-uncovered voxels — zero
+      iterations in the common case (same zero-iteration-remainder
+      philosophy the round-1 kernel measured as optimal vs lax.cond).
+    """
+    view = pl.program_id(2)
+
+    @pl.when(view == 0)
+    def _():
+        out_ref[:] = vol_ref[:]
+
+    tx = tx_ref[0]  # (4, cx)
+    depth = depth_ref.at[0]  # (hp, wp) ref view for dynamic windows
+
+    zc0 = tz_ref[0, view, 0] + tc_ref[view, 0]
+    zc1 = tz_ref[0, view, 1] + tc_ref[view, 1]
+    zc2 = tz_ref[0, view, 2] + tc_ref[view, 2]
+    zc3 = tz_ref[0, view, 3] + tc_ref[view, 3]
+
+    big = jnp.int32(1 << 30)
+
+    def jt_body(jt, _):
+        tys = ty_ref[0, pl.ds(jt * sj, sj), :]  # (sj, 4)
+        for it in range(cx // 128):
+            txs = tx[:, it * 128 : (it + 1) * 128]  # (4, 128)
+            h0 = tys[:, 0:1] + (txs[0][None, :] + zc0)
+            h1 = tys[:, 1:2] + (txs[1][None, :] + zc1)
+            h2 = tys[:, 2:3] + (txs[2][None, :] + zc2)
+            zcam = tys[:, 3:4] + (txs[3][None, :] + zc3)
+            u = _round_half_away(h0 / h2)
+            v = _round_half_away(h1 / h2)
+            valid = (h2 >= 0) & (u >= 0) & (v >= 0) & (u < w) & (v < h)
+            ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
+            vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
+
+            v_lo = jnp.min(jnp.where(valid, vi, big))
+            u_lo = jnp.min(jnp.where(valid, ui, big))
+            v0 = jnp.clip((v_lo // 8) * 8, 0, hp - wr)
+            u0 = jnp.clip((u_lo // 128) * 128, 0, wp - 128 * n_wc)
+            vi_loc = vi - v0  # >= 0 for valid voxels (v0 <= v_lo)
+            # Per voxel row: minimum in-window image row over valid lanes.
+            in_win = valid & (vi_loc < wr)
+            rmin = jnp.min(
+                jnp.where(in_win, vi_loc, big), axis=1, keepdims=True
+            )
+
+            d = jnp.zeros(valid.shape, jnp.float32)
+            covered = jnp.zeros(valid.shape, jnp.bool_)
+            for c in range(n_wc):
+                cs = pl.multiple_of(u0 + 128 * c, 128)
+                win = depth[pl.ds(pl.multiple_of(v0, 8), wr), pl.ds(cs, 128)]
+                u_loc = jnp.clip(ui - cs, 0, 127)
+                sel_c = valid & (ui >= cs) & (ui < cs + 128)
+                for k in range(n_k):
+                    d, match = _rowsel_pass(
+                        win, rmin + k, vi_loc, u_loc, sel_c, d, wr
+                    )
+                    covered |= match
+
+            # Generic exact remainder: while-walk (8, 128) windows over the
+            # bbox of voxels the static passes did not cover. Zero
+            # iterations when everything was covered.
+            rem = valid & ~covered
+            rv_lo = jnp.min(jnp.where(rem, vi, big))
+            rv_hi = jnp.max(jnp.where(rem, vi, -1))
+            ru_lo = jnp.min(jnp.where(rem, ui, big))
+            ru_hi = jnp.max(jnp.where(rem, ui, -1))
+            rv0 = jnp.clip((rv_lo // 8) * 8, 0, hp - 8)
+            ru0 = jnp.clip((ru_lo // 128) * 128, 0, wp - 128)
+
+            def row_cond(c_):
+                return c_[0] <= rv_hi
+
+            def row_body(c_):
+                rs, acc = c_
+
+                def col_cond(cc):
+                    return cc[0] <= ru_hi
+
+                def col_body(cc):
+                    cs_, cacc = cc
+                    cacc = _window_pass(
+                        depth,
+                        pl.multiple_of(rs, 8),
+                        pl.multiple_of(cs_, 128),
+                        ui, vi, rem, cacc,
+                    )
+                    return cs_ + 128, cacc
+
+                _, acc = jax.lax.while_loop(col_cond, col_body, (ru0, acc))
+                return rs + 8, acc
+
+            _, d = jax.lax.while_loop(row_cond, row_body, (rv0, d))
+
+            valid &= d != -1.0
+            # Ray potential (CudaReconstruction.cu:104-120).
+            diff = zcam - d
+            a = jnp.abs(diff)
+            far = jnp.where(diff > 0, 0.0, -eta * rho)
+            shell = rho * jnp.sign(diff)
+            ramp = (rho / thick) * diff
+            val = jnp.where(a > delta, far, jnp.where(a > thick, shell, ramp))
+            contrib = jnp.where(valid, val, 0.0)
+            sl = (0, pl.ds(jt * sj, sj), pl.ds(it * 128, 128))
+            out_ref[sl] += contrib
+        return 0
+
+    jax.lax.fori_loop(0, cy // sj, jt_body, 0)
+
+
 def _integrate_kernel(
     tx_ref, ty_ref, tz_ref, tc_ref, depth_ref, vol_ref, out_ref,
     *, h, w, hp, wp, cy, cx, sj, n_wr, n_wc, thick, rho, eta, delta,
@@ -202,12 +351,12 @@ def _integrate_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("h", "w", "sj", "n_wr", "n_wc", "thick", "rho", "eta",
-                     "delta"),
+                     "delta", "mode", "wr", "n_k"),
     donate_argnames=("volume",),
 )
 def _pallas_integrate_padded(
     volume, tx, ty, tz, tc, depths, *, h, w, sj, n_wr, n_wc,
-    thick, rho, eta, delta
+    thick, rho, eta, delta, mode="windows", wr=32, n_k=2
 ):
     cz, cy, cx = volume.shape
     nviews, hp, wp = depths.shape
@@ -225,11 +374,19 @@ def _pallas_integrate_padded(
     while cy % cy_b:
         cy_b -= sj  # cy is a multiple of sj; find a divisor multiple of sj
     n_jtb = cy // cy_b
-    kernel = functools.partial(
-        _integrate_kernel,
-        h=h, w=w, hp=hp, wp=wp, cy=cy_b, cx=cx, sj=sj, n_wr=n_wr, n_wc=n_wc,
-        thick=thick, rho=rho, eta=eta, delta=delta,
-    )
+    if mode == "rowsel":
+        kernel = functools.partial(
+            _integrate_kernel_v2,
+            h=h, w=w, hp=hp, wp=wp, cy=cy_b, cx=cx, sj=sj,
+            wr=min(wr, hp), n_wc=n_wc, n_k=n_k,
+            thick=thick, rho=rho, eta=eta, delta=delta,
+        )
+    else:
+        kernel = functools.partial(
+            _integrate_kernel,
+            h=h, w=w, hp=hp, wp=wp, cy=cy_b, cx=cx, sj=sj, n_wr=n_wr, n_wc=n_wc,
+            thick=thick, rho=rho, eta=eta, delta=delta,
+        )
     flops_per_upd = 40
     return pl.pallas_call(
         kernel,
@@ -283,17 +440,26 @@ def pallas_integrate(
     thick: float, rho: float, eta: float, delta: float,
     windows: tuple[int, int] = (3, 2),
     subtile_rows: int = 16,
+    mode: str = "rowsel",
+    window_rows: int = 32,
+    rowsel_passes: int = 2,
 ):
     """Fuse all views into `volume` (returns the updated volume).
 
     Depth maps are padded to (8, 128) multiples with the -1 invalid sentinel;
     bounds tests inside the kernel use the REAL h/w, so padding never
-    contributes. Subtiles whose footprint exceeds the static `windows` grid
-    take the exact while-walk fallback — results never depend on `windows`,
-    only speed does.
+    contributes.
+
+    mode='rowsel' (default): one-hot-matmul row selection
+    (:func:`_integrate_kernel_v2`) with `window_rows` image rows per window
+    and `rowsel_passes` static passes. mode='windows': the round-1 windowed
+    gather kernel with a static `windows` grid. Both are exact for ANY
+    geometry — subtiles escaping the static structures take zero-iteration
+    while-walk fallbacks, so the tunables affect speed, never values.
     """
     h, w = int(depths.shape[1]), int(depths.shape[2])
-    ph, pw = (-h) % 8, (-w) % 128
+    min_h = int(window_rows) if mode == "rowsel" else 8
+    ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
     if ph or pw:
         depths = np.pad(
             np.asarray(depths), ((0, 0), (0, ph), (0, pw)), constant_values=-1.0
@@ -313,6 +479,7 @@ def pallas_integrate(
         h=h, w=w, sj=sj, n_wr=n_wr, n_wc=n_wc,
         thick=float(thick), rho=float(rho),
         eta=float(eta), delta=float(delta),
+        mode=mode, wr=int(window_rows), n_k=int(rowsel_passes),
     )
 
 
@@ -455,7 +622,14 @@ class OrientedFusionPlan:
                 )
             )
 
-    def run(self, volume_zyx, windows: tuple[int, int] = (3, 2)):
+    def run(
+        self,
+        volume_zyx,
+        windows: tuple[int, int] = (3, 2),
+        mode: str = "rowsel",
+        window_rows: int = 32,
+        rowsel_passes: int = 2,
+    ):
         """Fuse the planned views into (cz, cy, cx) `volume_zyx` (device)."""
         p = self.params
         vol = jnp.asarray(volume_zyx, jnp.float32)
@@ -469,6 +643,9 @@ class OrientedFusionPlan:
                 p.thick, p.rho, p.eta, p.delta,
                 windows=windows,
                 subtile_rows=self.subtile_rows,
+                mode=mode,
+                window_rows=window_rows,
+                rowsel_passes=rowsel_passes,
             )
             vol = jnp.transpose(out[:, : g["cyp"], : g["cxp"]], g["inv"])
         return vol
@@ -483,6 +660,9 @@ def integrate_views_oriented(
     windows: tuple[int, int] = (3, 2),
     view_pad_multiple: int = 8,
     subtile_rows: int = 16,
+    mode: str = "rowsel",
+    window_rows: int = 32,
+    rowsel_passes: int = 2,
 ):
     """High-level Pallas fusion: orientation-grouped, per-subtile adaptive.
 
@@ -495,4 +675,7 @@ def integrate_views_oriented(
         view_pad_multiple=view_pad_multiple,
         subtile_rows=subtile_rows,
     )
-    return plan.run(volume_zyx, windows=windows)
+    return plan.run(
+        volume_zyx, windows=windows, mode=mode,
+        window_rows=window_rows, rowsel_passes=rowsel_passes,
+    )

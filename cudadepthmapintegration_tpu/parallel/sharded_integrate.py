@@ -208,16 +208,28 @@ class ShardedTSDFIntegrator:
         threshold_best_cost: float | None = None,
         windows: tuple[int, int] = (3, 2),
         subtile_rows: int = 16,
+        mode: str = "rowsel",
+        window_rows: int = 32,
+        rowsel_passes: int = 2,
     ):
         """Spatially-sharded fusion with the Pallas kernel per z-shard.
 
         Each device runs the TPU integrate kernel on its own z-slab
         (`shard_map`; no collectives — same ownership argument as
-        :meth:`integrate`). The z-dependent table is sharded with the volume;
-        everything else is replicated. Orientation grouping is skipped here
-        (the z axis is fixed by the sharding); for maximum per-chip
-        throughput on inward-orbit rigs, shard the axis your cameras look
-        along least.
+        :meth:`integrate`). The z-dependent table is sharded with the
+        volume; everything else is replicated.
+
+        Orientation grouping UNDER sharding: the k (grid-step) axis is
+        pinned to z by the sharding, but the lane/sublane axes are still
+        free — views are grouped by whichever of the two remaining
+        permutations (sub=y, lane=x) / (sub=x, lane=y) better aligns the
+        lane axis with image-u (the same score as
+        ``best_axis_permutation`` restricted to k=z), and each group runs
+        with a per-shard yx transpose (local to every device, no
+        communication). Rigs looking straight down z remain the worst
+        case — neither free axis tracks the viewing direction — which is
+        why docs/SCALING.md says to shard the axis cameras look along
+        least; the grouping here recovers the in-plane component.
         """
         if self.volume is None:
             self.reset()
@@ -229,20 +241,34 @@ class ShardedTSDFIntegrator:
 
         h, w = views[0].depth.shape
         t = projection_tables(self.grid, views, np.float32)
-        depths = np.stack([v.depth for v in views]).astype(np.float32)
+        depths_all = np.stack([v.depth for v in views]).astype(np.float32)
         # Pre-pad depth maps on the host (pallas_integrate would otherwise
         # np.pad a traced array inside shard_map). -1 padding preserves
         # semantics: a projection landing in the pad reads the invalid
         # sentinel and is rejected, exactly like the bounds test would.
-        ph, pw = (-h) % 8, (-w) % 128
+        min_h = window_rows if mode == "rowsel" else 8
+        ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
         if ph or pw:
-            depths = np.pad(
-                depths, ((0, 0), (0, ph), (0, pw)), constant_values=-1.0
+            depths_all = np.pad(
+                depths_all, ((0, 0), (0, ph), (0, pw)), constant_values=-1.0
             )
         mesh = self.mesh
         cz, cy, cx = self.grid.volume_shape
-        py, px = (-cy) % subtile_rows, (-cx) % 128
         params = self.params
+        kernel_kw = dict(
+            windows=windows, subtile_rows=subtile_rows,
+            mode=mode, window_rows=window_rows, rowsel_passes=rowsel_passes,
+        )
+
+        # Group views over the two free-axis permutations: k=z fixed;
+        # score = u_dir[lane] + view_dir[sub] (cf. best_axis_permutation).
+        groups: dict[bool, list[int]] = {}
+        for i, view in enumerate(views):
+            rot = (view.camera.rt @ self.grid.matrix)[:3, :3]
+            u_dir, view_dir = np.abs(rot[0]), np.abs(rot[2])
+            score_yx = u_dir[0] + view_dir[1]  # sub=y, lane=x (canonical)
+            score_xy = u_dir[1] + view_dir[0]  # sub=x, lane=y (transposed)
+            groups.setdefault(bool(score_xy > score_yx), []).append(i)
 
         def pad_axis_table(tab, n_new):
             if n_new == tab.shape[2]:
@@ -251,43 +277,59 @@ class ShardedTSDFIntegrator:
             pad[:, 2, :] = -1e9  # poisoned hom-z: padded voxels never valid
             return np.concatenate([tab, pad], axis=2)
 
-        tx = pad_axis_table(t.tx, cx + px)
-        ty = pad_axis_table(t.ty, cy + py)
-
-        def body(vol_shard, tz_shard, tx_, ty_, tc_, depths_):
-            if py or px:
-                vol_shard = jnp.pad(vol_shard, ((0, 0), (0, py), (0, px)))
-            out = pallas_integrate(
-                vol_shard, tx_, ty_, tz_shard, tc_, depths_,
-                params.thick, params.rho, params.eta, params.delta,
-                windows=windows, subtile_rows=subtile_rows,
-            )
-            return out[:, :cy, :cx]
-
-        step = jax.jit(
-            jax.shard_map(
-                body,
-                mesh=mesh,
-                in_specs=(
-                    P("z", None, None),
-                    P(None, None, "z"),
-                    P(), P(), P(), P(),
-                ),
-                out_specs=P("z", None, None),
-                # pallas_call's out_shape carries no vma annotation; the
-                # body is communication-free, so skip the vma check.
-                check_vma=False,
-            )
-        )
         repl = NamedSharding(mesh, P())
-        self.volume = step(
-            self.volume,
-            jax.device_put(t.tz, NamedSharding(mesh, P(None, None, "z"))),
-            jax.device_put(tx, repl),
-            jax.device_put(ty, repl),
-            jax.device_put(t.tc, repl),
-            jax.device_put(depths, repl),
-        )
+        for transposed, idxs in sorted(groups.items()):
+            sel = np.asarray(idxs)
+            # Lane/sublane cell extents for this group's layout.
+            cyl, cxl = (cx, cy) if transposed else (cy, cx)
+            py, px = (-cyl) % subtile_rows, (-cxl) % 128
+            tab_sub = t.tx if transposed else t.ty
+            tab_lane = t.ty if transposed else t.tx
+            tx_g = pad_axis_table(tab_lane[sel], cxl + px)
+            ty_g = pad_axis_table(tab_sub[sel], cyl + py)
+
+            def body(vol_shard, tz_shard, tx_, ty_, tc_, depths_,
+                     transposed=transposed, py=py, px=px):
+                if transposed:
+                    vol_shard = jnp.transpose(vol_shard, (0, 2, 1))
+                if py or px:
+                    vol_shard = jnp.pad(vol_shard, ((0, 0), (0, py), (0, px)))
+                out = pallas_integrate(
+                    vol_shard, tx_, ty_, tz_shard, tc_, depths_,
+                    params.thick, params.rho, params.eta, params.delta,
+                    **kernel_kw,
+                )
+                out = out[:, : (cx if transposed else cy),
+                          : (cy if transposed else cx)]
+                if transposed:
+                    out = jnp.transpose(out, (0, 2, 1))
+                return out
+
+            step = jax.jit(
+                jax.shard_map(
+                    body,
+                    mesh=mesh,
+                    in_specs=(
+                        P("z", None, None),
+                        P(None, None, "z"),
+                        P(), P(), P(), P(),
+                    ),
+                    out_specs=P("z", None, None),
+                    # pallas_call's out_shape carries no vma annotation; the
+                    # body is communication-free, so skip the vma check.
+                    check_vma=False,
+                )
+            )
+            self.volume = step(
+                self.volume,
+                jax.device_put(
+                    t.tz[sel], NamedSharding(mesh, P(None, None, "z"))
+                ),
+                jax.device_put(tx_g, repl),
+                jax.device_put(ty_g, repl),
+                jax.device_put(t.tc[sel], repl),
+                jax.device_put(depths_all[sel], repl),
+            )
         self.views_fused += len(views)
         return self
 

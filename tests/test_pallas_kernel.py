@@ -94,3 +94,50 @@ def test_view_padding_adds_inert_views():
     assert txp.shape[0] == 8 and dp.shape[0] == 8
     assert (tcp[3:, 2] == -1e9).all()  # poisoned hom-z => always invalid
     assert (dp[3:] == -1.0).all()
+
+
+def test_rowsel_matches_windows_mode_exactly():
+    """v2 (one-hot-matmul row selection) and the round-1 windowed kernel
+    must agree bit-for-bit — both are exact gathers."""
+    views = sphere_scene(n_views=3, width=144, height=64, focal=60.0)
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    a = np.asarray(
+        KP.integrate_views_oriented(vol, grid, views, PARAMS, mode="rowsel")
+    )
+    b = np.asarray(
+        KP.integrate_views_oriented(vol, grid, views, PARAMS, mode="windows")
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_rowsel_degenerate_tunables_hit_remainder_walk():
+    """window_rows=8 / rowsel_passes=1 push most voxels through the
+    uncovered-bbox while-walk; results must be identical (tunables affect
+    speed, never values)."""
+    views = sphere_scene(n_views=3, width=144, height=64, focal=60.0)
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    ref = np.asarray(
+        KP.integrate_views_oriented(vol, grid, views, PARAMS, mode="rowsel")
+    )
+    for wr_, nk_ in ((8, 1), (16, 1), (32, 4)):
+        got = np.asarray(
+            KP.integrate_views_oriented(
+                vol, grid, views, PARAMS, mode="rowsel",
+                window_rows=wr_, rowsel_passes=nk_,
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_rowsel_matches_oracle():
+    views = sphere_scene(n_views=4, width=144, height=64, focal=60.0)
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    got = np.asarray(
+        KP.integrate_views_oriented(vol, grid, views, PARAMS, mode="rowsel")
+    )
+    exp = integrate_views_oracle(grid, views, PARAMS)
+    err = np.abs(got - exp.astype(np.float32))
+    assert (err > 1e-3).mean() == 0.0

@@ -35,3 +35,38 @@ def test_sharded_pallas_incremental():
     b = ShardedTSDFIntegrator(grid, PARAMS, mesh, dtype=np.float32)
     b.reset().integrate_pallas(views)
     np.testing.assert_allclose(a.result(), b.result(), atol=1e-6)
+
+
+def test_sharded_pallas_orientation_groups_on_topdown_rig():
+    """Cameras looking down -z with varied roll: image-u aligns with x for
+    some views and y for others, so the free-axis grouping must split into
+    both layouts (canonical + yx-transposed) and still match the oracle."""
+    from cudadepthmapintegration_tpu.testing import render_sphere_view
+    from cudadepthmapintegration_tpu.testing.synthetic import look_at_camera
+
+    views = []
+    for i in range(4):
+        ang = i * np.pi / 4  # varied roll: up vector rotates in the xy plane
+        up = (np.cos(ang), np.sin(ang), 0.0)
+        cam = look_at_camera(
+            (0.25, -0.15, 3.5), (0.0, 0.0, 0.0), up=up,
+            focal=60.0, width=144, height=64,
+        )
+        views.append(render_sphere_view(cam, 144, 64))
+
+    grid = VoxelGrid(dims=(17, 17, 17), origin=(-1.6,) * 3, spacing=(0.2,) * 3)
+    mesh = make_mesh(n_z=4)
+    integ = ShardedTSDFIntegrator(grid, PARAMS, mesh, dtype=np.float32)
+    integ.reset().integrate_pallas(views)
+    got = integ.result()
+    exp = integrate_views_oracle(grid, views, PARAMS)
+    assert exp.max() > 0.5
+    assert (np.abs(got - exp.astype(np.float32)) > 1e-3).mean() == 0.0
+
+    # The rig genuinely splits across the two free-axis permutations.
+    splits = set()
+    for view in views:
+        rot = (view.camera.rt @ grid.matrix)[:3, :3]
+        u_dir, view_dir = np.abs(rot[0]), np.abs(rot[2])
+        splits.add(bool(u_dir[1] + view_dir[0] > u_dir[0] + view_dir[1]))
+    assert splits == {False, True}
