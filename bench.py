@@ -40,8 +40,8 @@ from cudadepthmapintegration_tpu.ops import integrate as I
 from cudadepthmapintegration_tpu.testing import orbit_cameras, render_sphere_view
 
 # Kernel configuration benched (the tuned defaults; see docs/KERNEL.md).
-KERNEL_PLAN_KW = dict(subtile_rows=32)
-KERNEL_RUN_KW = dict(mode="rowsel", window_rows=48, rowsel_passes=6)
+KERNEL_PLAN_KW = dict(subtile_rows=64)
+KERNEL_RUN_KW = dict(mode="rowsel", window_rows=64, rowsel_passes=2)
 
 
 def build_workload(dims=513, n_views=32, width=512, height=512):
@@ -149,11 +149,11 @@ def main():
 
     # --- hardware parity gate ------------------------------------------
     parity_ok, parity_flips = tpu_validate.run_parity(
-        verbose=False, **KERNEL_RUN_KW
+        verbose=False, **KERNEL_PLAN_KW, **KERNEL_RUN_KW
     )
     if not parity_ok:
         print("PARITY GATE FAILED — details:", file=sys.stderr)
-        tpu_validate.run_parity(verbose=True, **KERNEL_RUN_KW)
+        tpu_validate.run_parity(verbose=True, **KERNEL_PLAN_KW, **KERNEL_RUN_KW)
 
     # --- sparse incremental fps ----------------------------------------
     sparse_fps = bench_sparse_fps()

@@ -103,6 +103,70 @@ def _rowsel_pass(win, t, vi_loc, u_loc, sel_c, d, wr):
     return jnp.where(match, g, d), match
 
 
+def _gather_pixels(depth, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
+    """Exact per-element image gather ``depth[vi, ui]`` for one voxel/vertex
+    subtile (the shared heart of the rowsel kernels).
+
+    `depth` is a (hp, wp) VMEM ref view; ui/vi int32 (sj, 128) with invalid
+    elements pointing at (0, 0); returns (sj, 128) f32 with unspecified
+    values where ~valid. Static coverage: an aligned (wr, 128*n_wc) window
+    anchored at the footprint minimum, n_k row-select passes per column
+    window; everything uncovered falls to a zero-iteration while-walk over
+    the uncovered bbox."""
+    big = jnp.int32(1 << 30)
+    v_lo = jnp.min(jnp.where(valid, vi, big))
+    u_lo = jnp.min(jnp.where(valid, ui, big))
+    v0 = jnp.clip((v_lo // 8) * 8, 0, hp - wr)
+    u0 = jnp.clip((u_lo // 128) * 128, 0, wp - 128 * n_wc)
+    vi_loc = vi - v0  # >= 0 for valid voxels (v0 <= v_lo)
+    in_win = valid & (vi_loc < wr)
+    rmin = jnp.min(jnp.where(in_win, vi_loc, big), axis=1, keepdims=True)
+
+    d = jnp.zeros(valid.shape, jnp.float32)
+    covered = jnp.zeros(valid.shape, jnp.bool_)
+    for c in range(n_wc):
+        cs = pl.multiple_of(u0 + 128 * c, 128)
+        win = depth[pl.ds(pl.multiple_of(v0, 8), wr), pl.ds(cs, 128)]
+        u_loc = jnp.clip(ui - cs, 0, 127)
+        sel_c = valid & (ui >= cs) & (ui < cs + 128)
+        for k in range(n_k):
+            d, match = _rowsel_pass(win, rmin + k, vi_loc, u_loc, sel_c, d, wr)
+            covered |= match
+
+    rem = valid & ~covered
+    rv_lo = jnp.min(jnp.where(rem, vi, big))
+    rv_hi = jnp.max(jnp.where(rem, vi, -1))
+    ru_lo = jnp.min(jnp.where(rem, ui, big))
+    ru_hi = jnp.max(jnp.where(rem, ui, -1))
+    rv0 = jnp.clip((rv_lo // 8) * 8, 0, hp - 8)
+    ru0 = jnp.clip((ru_lo // 128) * 128, 0, wp - 128)
+
+    def row_cond(c_):
+        return c_[0] <= rv_hi
+
+    def row_body(c_):
+        rs, acc = c_
+
+        def col_cond(cc):
+            return cc[0] <= ru_hi
+
+        def col_body(cc):
+            cs_, cacc = cc
+            cacc = _window_pass(
+                depth,
+                pl.multiple_of(rs, 8),
+                pl.multiple_of(cs_, 128),
+                ui, vi, rem, cacc,
+            )
+            return cs_ + 128, cacc
+
+        _, acc = jax.lax.while_loop(col_cond, col_body, (ru0, acc))
+        return rs + 8, acc
+
+    _, d = jax.lax.while_loop(row_cond, row_body, (rv0, d))
+    return d
+
+
 def _integrate_kernel_v2(
     tx_ref, ty_ref, tz_ref, tc_ref, depth_ref, vol_ref, out_ref,
     *, h, w, hp, wp, cy, cx, sj, wr, n_wc, n_k, thick, rho, eta, delta,
@@ -138,7 +202,6 @@ def _integrate_kernel_v2(
     zc2 = tz_ref[0, view, 2] + tc_ref[view, 2]
     zc3 = tz_ref[0, view, 3] + tc_ref[view, 3]
 
-    big = jnp.int32(1 << 30)
 
     def jt_body(jt, _):
         tys = ty_ref[0, pl.ds(jt * sj, sj), :]  # (sj, 4)
@@ -154,64 +217,9 @@ def _integrate_kernel_v2(
             ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
             vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
 
-            v_lo = jnp.min(jnp.where(valid, vi, big))
-            u_lo = jnp.min(jnp.where(valid, ui, big))
-            v0 = jnp.clip((v_lo // 8) * 8, 0, hp - wr)
-            u0 = jnp.clip((u_lo // 128) * 128, 0, wp - 128 * n_wc)
-            vi_loc = vi - v0  # >= 0 for valid voxels (v0 <= v_lo)
-            # Per voxel row: minimum in-window image row over valid lanes.
-            in_win = valid & (vi_loc < wr)
-            rmin = jnp.min(
-                jnp.where(in_win, vi_loc, big), axis=1, keepdims=True
+            d = _gather_pixels(
+                depth, ui, vi, valid, hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k
             )
-
-            d = jnp.zeros(valid.shape, jnp.float32)
-            covered = jnp.zeros(valid.shape, jnp.bool_)
-            for c in range(n_wc):
-                cs = pl.multiple_of(u0 + 128 * c, 128)
-                win = depth[pl.ds(pl.multiple_of(v0, 8), wr), pl.ds(cs, 128)]
-                u_loc = jnp.clip(ui - cs, 0, 127)
-                sel_c = valid & (ui >= cs) & (ui < cs + 128)
-                for k in range(n_k):
-                    d, match = _rowsel_pass(
-                        win, rmin + k, vi_loc, u_loc, sel_c, d, wr
-                    )
-                    covered |= match
-
-            # Generic exact remainder: while-walk (8, 128) windows over the
-            # bbox of voxels the static passes did not cover. Zero
-            # iterations when everything was covered.
-            rem = valid & ~covered
-            rv_lo = jnp.min(jnp.where(rem, vi, big))
-            rv_hi = jnp.max(jnp.where(rem, vi, -1))
-            ru_lo = jnp.min(jnp.where(rem, ui, big))
-            ru_hi = jnp.max(jnp.where(rem, ui, -1))
-            rv0 = jnp.clip((rv_lo // 8) * 8, 0, hp - 8)
-            ru0 = jnp.clip((ru_lo // 128) * 128, 0, wp - 128)
-
-            def row_cond(c_):
-                return c_[0] <= rv_hi
-
-            def row_body(c_):
-                rs, acc = c_
-
-                def col_cond(cc):
-                    return cc[0] <= ru_hi
-
-                def col_body(cc):
-                    cs_, cacc = cc
-                    cacc = _window_pass(
-                        depth,
-                        pl.multiple_of(rs, 8),
-                        pl.multiple_of(cs_, 128),
-                        ui, vi, rem, cacc,
-                    )
-                    return cs_ + 128, cacc
-
-                _, acc = jax.lax.while_loop(col_cond, col_body, (ru0, acc))
-                return rs + 8, acc
-
-            _, d = jax.lax.while_loop(row_cond, row_body, (rv0, d))
 
             valid &= d != -1.0
             # Ray potential (CudaReconstruction.cu:104-120).
@@ -348,13 +356,7 @@ def _integrate_kernel(
     jax.lax.fori_loop(0, cy // sj, jt_body, 0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("h", "w", "sj", "n_wr", "n_wc", "thick", "rho", "eta",
-                     "delta", "mode", "wr", "n_k"),
-    donate_argnames=("volume",),
-)
-def _pallas_integrate_padded(
+def _pallas_integrate_impl(
     volume, tx, ty, tz, tc, depths, *, h, w, sj, n_wr, n_wc,
     thick, rho, eta, delta, mode="windows", wr=32, n_k=2
 ):
@@ -411,6 +413,14 @@ def _pallas_integrate_padded(
         ),
         interpret=INTERPRET,
     )(tx, ty, tz, tc, depths, volume)
+
+
+_pallas_integrate_padded = functools.partial(
+    jax.jit,
+    static_argnames=("h", "w", "sj", "n_wr", "n_wc", "thick", "rho", "eta",
+                     "delta", "mode", "wr", "n_k"),
+    donate_argnames=("volume",),
+)(_pallas_integrate_impl)
 
 
 def pad_volume(
@@ -582,6 +592,9 @@ class OrientedFusionPlan:
             views = [v.thresholded(threshold_best_cost) for v in views]
         self.params = params
         self.subtile_rows = int(subtile_rows)
+        self._h, self._w = (int(views[0].depth.shape[0]),
+                            int(views[0].depth.shape[1]))
+        self._runners: dict = {}
         tables = projection_tables(grid, views, np.float32)
         axis_tables = {0: tables.tx, 1: tables.ty, 2: tables.tz}
         rots = [(v.camera.rt @ grid.matrix)[:3, :3] for v in views]
@@ -622,6 +635,60 @@ class OrientedFusionPlan:
                 )
             )
 
+    def _build_runner(self, windows, mode, window_rows, rowsel_passes):
+        """One jitted chain over ALL groups: transpose -> pad -> kernel ->
+        unpad -> inverse transpose per group, fused into a single dispatch
+        (the round-1 plan issued ~4 eager dispatches per group per batch —
+        real latency on a high-RTT control plane, and the depth re-pad was
+        a device->host round trip per call). Tables/depths are staged in
+        kernel layout ONCE here."""
+        h, w = self._h, self._w
+        min_h = window_rows if mode == "rowsel" else 8
+        ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
+        hp, wp = h + ph, w + pw
+        n_wr = min(windows[0], hp // 8)
+        n_wc = min(windows[1], wp // 128)
+        sj = self.subtile_rows
+        p = self.params
+        metas, staged = [], []
+        for g in self.groups:
+            depths = np.asarray(g["depths"])
+            if ph or pw:
+                depths = np.pad(
+                    depths, ((0, 0), (0, ph), (0, pw)), constant_values=-1.0
+                )
+            staged.append(
+                (
+                    g["tx"],
+                    jnp.transpose(g["ty"], (0, 2, 1)),
+                    jnp.transpose(g["tz"], (2, 0, 1)),
+                    g["tc"],
+                    jnp.asarray(depths),
+                )
+            )
+            metas.append((g["order"], g["inv"], g["pad"], g["cyp"], g["cxp"]))
+
+        def chain(vol, staged_arrays):
+            for (order, inv, (py, px), cyp, cxp), arrs in zip(
+                metas, staged_arrays
+            ):
+                tx, ty, tz, tc, depths = arrs
+                volp = jnp.transpose(vol, order)
+                if py or px:
+                    volp = jnp.pad(volp, ((0, 0), (0, py), (0, px)))
+                out = _pallas_integrate_impl(
+                    volp, tx, ty, tz, tc, depths,
+                    h=h, w=w, sj=sj, n_wr=n_wr, n_wc=n_wc,
+                    thick=float(p.thick), rho=float(p.rho),
+                    eta=float(p.eta), delta=float(p.delta),
+                    mode=mode, wr=min(window_rows, hp), n_k=rowsel_passes,
+                )
+                vol = jnp.transpose(out[:, :cyp, :cxp], inv)
+            return vol
+
+        jitted = jax.jit(chain, donate_argnums=(0,))
+        return lambda vol: jitted(vol, staged)
+
     def run(
         self,
         volume_zyx,
@@ -630,25 +697,17 @@ class OrientedFusionPlan:
         window_rows: int = 32,
         rowsel_passes: int = 2,
     ):
-        """Fuse the planned views into (cz, cy, cx) `volume_zyx` (device)."""
-        p = self.params
-        vol = jnp.asarray(volume_zyx, jnp.float32)
-        for g in self.groups:
-            volp = jnp.transpose(vol, g["order"])
-            py, px = g["pad"]
-            if py or px:
-                volp = jnp.pad(volp, ((0, 0), (0, py), (0, px)))
-            out = pallas_integrate(
-                volp, g["tx"], g["ty"], g["tz"], g["tc"], g["depths"],
-                p.thick, p.rho, p.eta, p.delta,
-                windows=windows,
-                subtile_rows=self.subtile_rows,
-                mode=mode,
-                window_rows=window_rows,
-                rowsel_passes=rowsel_passes,
+        """Fuse the planned views into (cz, cy, cx) `volume_zyx`.
+
+        The input volume buffer is DONATED when already on device (pass a
+        fresh array or host data per call)."""
+        key = (tuple(windows), mode, int(window_rows), int(rowsel_passes))
+        runner = self._runners.get(key)
+        if runner is None:
+            runner = self._runners[key] = self._build_runner(
+                tuple(windows), mode, int(window_rows), int(rowsel_passes)
             )
-            vol = jnp.transpose(out[:, : g["cyp"], : g["cxp"]], g["inv"])
-        return vol
+        return runner(jnp.asarray(volume_zyx, jnp.float32))
 
 
 def integrate_views_oriented(

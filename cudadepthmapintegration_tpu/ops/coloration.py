@@ -109,6 +109,7 @@ def colorize_points(
     z_test: bool = False,
     dtype=np.float32,
     compat_int_mean: bool = False,
+    backend: str = "xla",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Color statistics for (N, 3) world points against all views.
 
@@ -120,6 +121,11 @@ def colorize_points(
     `dtype` is the projection compute precision: float32 (TPU default) may
     flip a pixel on exact rounding boundaries vs the float64 reference;
     float64 reproduces the reference bit-for-bit (CPU/testing).
+
+    ``backend='pallas'`` replaces the XLA gather stage with the TPU
+    packed-RGB rowsel kernel (``kernels/coloration_pallas.py``) — fp32
+    projection only; everything downstream (masked median, mean, count)
+    is identical.
 
     Returns (mean_uint8 (N,3), median_uint8 (N,3), count_int32 (N,)).
     """
@@ -163,12 +169,19 @@ def colorize_points(
                 colors = np.concatenate(
                     [colors, np.zeros((pad_v, h, w, 3), np.uint8)]
                 )
-            rgb, ok = _gather_chunk(
-                block_j,
-                jnp.asarray(proj.astype(dtype)),
-                jnp.asarray(colors.reshape(vc, h * w, 3)),
-                h=h, w=w, z_test=z_test,
-            )
+            if backend == "pallas":
+                from ..kernels.coloration_pallas import gather_colors_pallas
+
+                rgb, ok = gather_colors_pallas(
+                    np.asarray(block, np.float32), proj, colors, z_test=z_test
+                )
+            else:
+                rgb, ok = _gather_chunk(
+                    block_j,
+                    jnp.asarray(proj.astype(dtype)),
+                    jnp.asarray(colors.reshape(vc, h * w, 3)),
+                    h=h, w=w, z_test=z_test,
+                )
             samples[vs:ve] = np.asarray(rgb)[: ve - vs]
             valid[vs:ve] = np.asarray(ok)[: ve - vs]
 

@@ -32,20 +32,10 @@ def main():
     grid, views, params = bench.build_workload()
     nv = len(views)
     variants = [
-        ("rowsel wr64 k4 sj64 [best]", dict(subtile_rows=64),
-         dict(mode="rowsel", window_rows=64, rowsel_passes=4)),
-        ("rowsel wr64 k3 sj64", dict(subtile_rows=64),
+        ("rowsel wr64 k3 sj64 fused", dict(subtile_rows=64),
          dict(mode="rowsel", window_rows=64, rowsel_passes=3)),
-        ("rowsel wr48 k4 sj64", dict(subtile_rows=64),
-         dict(mode="rowsel", window_rows=48, rowsel_passes=4)),
-        ("rowsel wr64 k4 sj64 nwc3", dict(subtile_rows=64),
-         dict(mode="rowsel", window_rows=64, rowsel_passes=4, windows=(1, 3))),
-        ("rowsel wr96 k4 sj128", dict(subtile_rows=128),
-         dict(mode="rowsel", window_rows=96, rowsel_passes=4)),
-        ("rowsel wr128 k4 sj128", dict(subtile_rows=128),
-         dict(mode="rowsel", window_rows=128, rowsel_passes=4)),
-        ("rowsel wr96 k3 sj128", dict(subtile_rows=128),
-         dict(mode="rowsel", window_rows=96, rowsel_passes=3)),
+        ("rowsel wr64 k2 sj64 fused", dict(subtile_rows=64),
+         dict(mode="rowsel", window_rows=64, rowsel_passes=2)),
     ]
     plans = {}
     ref = None
