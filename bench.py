@@ -96,6 +96,12 @@ def bench_xla(grid, views, params, reps=1):
 
 
 def bench_sparse_fps(n_frames=48, width=256, height=192):
+    """Steady-state incremental sparse fusion rate: the first full orbit
+    allocates every block and warms every jit bucket size (compiles through
+    the remote service would otherwise land in the timed window); the
+    SECOND orbit is timed — allocation-stable streaming, the config-5
+    operating regime. Per-frame depth upload rides this rig's ~6 MB/s
+    tunnel and is counted (it would be ~free on a real TPU VM)."""
     from cudadepthmapintegration_tpu.ops.sparse_grid import SparseTSDFGrid
 
     params = RayPotential(thick=0.04, rho=0.8, eta=0.03, delta=0.16)
@@ -103,15 +109,15 @@ def bench_sparse_fps(n_frames=48, width=256, height=192):
                          width=width, image_height=height)
     views = [render_sphere_view(c, width, height) for c in cams]
     sparse = SparseTSDFGrid(voxel_size=0.02, params=params, pixel_stride=4)
-    for v in views[:4]:  # warm compiles across bucket sizes
+    for v in views:  # warm pass: allocate + compile all bucket sizes
         sparse.integrate_frame(v)
     float(sparse.pool.sum())
     t0 = time.perf_counter()
-    for v in views[4:]:
+    for v in views:
         sparse.integrate_frame(v)
     float(sparse.pool.sum())
     dt = time.perf_counter() - t0
-    return (n_frames - 4) / dt
+    return n_frames / dt
 
 
 def main():

@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Sparse block pool capacity (default 32768)")
     p.add_argument("--pixelStride", type=int, default=4,
                    help="Pixel subsampling for block allocation (default 4)")
+    p.add_argument("--blockBudget", type=int, default=None,
+                   help="Streaming working-set cap: when more blocks than "
+                        "this are allocated, the ones farthest from the "
+                        "current camera are evicted (their values reset if "
+                        "re-observed). Bounds memory for unbounded "
+                        "sequences; omit to keep everything.")
     p.add_argument("--intrinsics", type=str, default="fr1",
                    choices=["fr1", "fr2", "fr3", "custom"],
                    help="TUM camera calibration preset, or 'custom' with "
@@ -146,6 +152,15 @@ def main(argv: list[str] | None = None) -> int:
         if i % args.frameStride:
             continue
         sparse.integrate_frame(frame, threshold_best_cost=args.threshBestCost)
+        if (
+            args.blockBudget is not None
+            and sparse.num_allocated > args.blockBudget
+        ):
+            rt = frame.camera.rt
+            cam = -rt[:3, :3].T @ rt[:3, 3]
+            sparse.evict_far_from(
+                cam, radius=float("inf"), keep_at_most=args.blockBudget
+            )
         if args.colorize:
             fused_indices.append(i)
         log.progress(i + 1, n)

@@ -114,13 +114,19 @@ def _gather_pixels(depth, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
     window; everything uncovered falls to a zero-iteration while-walk over
     the uncovered bbox."""
     big = jnp.int32(1 << 30)
-    v_lo = jnp.min(jnp.where(valid, vi, big))
+    # Per-row image-v minimum does double duty: its column-min is the
+    # subtile v_lo (saves a second full reduction) and, rebased by v0, it
+    # is the row-select base. Rows whose minimum lands beyond the window
+    # yield t >= wr -> zero selector -> remainder walk (same semantics as
+    # an in-window-filtered min, since min(row) < wr whenever any element
+    # is in-window).
+    rowmin = jnp.min(jnp.where(valid, vi, big), axis=1, keepdims=True)
+    v_lo = jnp.min(rowmin)
     u_lo = jnp.min(jnp.where(valid, ui, big))
     v0 = jnp.clip((v_lo // 8) * 8, 0, hp - wr)
     u0 = jnp.clip((u_lo // 128) * 128, 0, wp - 128 * n_wc)
     vi_loc = vi - v0  # >= 0 for valid voxels (v0 <= v_lo)
-    in_win = valid & (vi_loc < wr)
-    rmin = jnp.min(jnp.where(in_win, vi_loc, big), axis=1, keepdims=True)
+    rmin = rowmin - v0
 
     d = jnp.zeros(valid.shape, jnp.float32)
     covered = jnp.zeros(valid.shape, jnp.bool_)
@@ -133,38 +139,46 @@ def _gather_pixels(depth, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
             d, match = _rowsel_pass(win, rmin + k, vi_loc, u_loc, sel_c, d, wr)
             covered |= match
 
+    # Exact remainder: walk (8, 128) windows over the bbox of voxels the
+    # static passes did not cover. The bbox reductions (4 full reduces)
+    # run only when something was actually missed (rare), behind one
+    # any-reduce.
     rem = valid & ~covered
-    rv_lo = jnp.min(jnp.where(rem, vi, big))
-    rv_hi = jnp.max(jnp.where(rem, vi, -1))
-    ru_lo = jnp.min(jnp.where(rem, ui, big))
-    ru_hi = jnp.max(jnp.where(rem, ui, -1))
-    rv0 = jnp.clip((rv_lo // 8) * 8, 0, hp - 8)
-    ru0 = jnp.clip((ru_lo // 128) * 128, 0, wp - 128)
 
-    def row_cond(c_):
-        return c_[0] <= rv_hi
+    def do_remainder(d_in):
+        rv_lo = jnp.min(jnp.where(rem, vi, big))
+        rv_hi = jnp.max(jnp.where(rem, vi, -1))
+        ru_lo = jnp.min(jnp.where(rem, ui, big))
+        ru_hi = jnp.max(jnp.where(rem, ui, -1))
+        rv0 = jnp.clip((rv_lo // 8) * 8, 0, hp - 8)
+        ru0 = jnp.clip((ru_lo // 128) * 128, 0, wp - 128)
 
-    def row_body(c_):
-        rs, acc = c_
+        def row_cond(c_):
+            return c_[0] <= rv_hi
 
-        def col_cond(cc):
-            return cc[0] <= ru_hi
+        def row_body(c_):
+            rs, acc = c_
 
-        def col_body(cc):
-            cs_, cacc = cc
-            cacc = _window_pass(
-                depth,
-                pl.multiple_of(rs, 8),
-                pl.multiple_of(cs_, 128),
-                ui, vi, rem, cacc,
-            )
-            return cs_ + 128, cacc
+            def col_cond(cc):
+                return cc[0] <= ru_hi
 
-        _, acc = jax.lax.while_loop(col_cond, col_body, (ru0, acc))
-        return rs + 8, acc
+            def col_body(cc):
+                cs_, cacc = cc
+                cacc = _window_pass(
+                    depth,
+                    pl.multiple_of(rs, 8),
+                    pl.multiple_of(cs_, 128),
+                    ui, vi, rem, cacc,
+                )
+                return cs_ + 128, cacc
 
-    _, d = jax.lax.while_loop(row_cond, row_body, (rv0, d))
-    return d
+            _, acc = jax.lax.while_loop(col_cond, col_body, (ru0, acc))
+            return rs + 8, acc
+
+        _, d_out = jax.lax.while_loop(row_cond, row_body, (rv0, d_in))
+        return d_out
+
+    return jax.lax.cond(jnp.any(rem), do_remainder, lambda x: x, d)
 
 
 def _integrate_kernel_v2(

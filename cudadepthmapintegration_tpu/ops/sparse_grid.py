@@ -257,6 +257,33 @@ class SparseTSDFGrid:
             self.pool = self.pool.at[jnp.asarray(np.asarray(slots))].set(0.0)
         return len(slots)
 
+    def evict_far_from(
+        self, center_xyz, radius: float, keep_at_most: int | None = None
+    ) -> int:
+        """Spatial working-set eviction: evict blocks whose center lies
+        farther than `radius` from `center_xyz` (e.g. the current camera
+        position). With `keep_at_most`, additionally evict the farthest
+        blocks until at most that many remain — the streaming block-budget
+        policy for unbounded sequences. Returns evicted count."""
+        if not self.block_map:
+            return 0
+        coords = np.array(list(self.block_map.keys()), np.float64)
+        centers = (coords + 0.5) * self._block_extent
+        dist = np.linalg.norm(
+            centers - np.asarray(center_xyz, np.float64), axis=1
+        )
+        keys = list(self.block_map.keys())
+        evict = [k for k, d in zip(keys, dist) if d > radius]
+        if keep_at_most is not None:
+            remaining = [
+                (d, k) for k, d in zip(keys, dist) if d <= radius
+            ]
+            excess = len(remaining) - int(keep_at_most)
+            if excess > 0:
+                remaining.sort()
+                evict.extend(k for _, k in remaining[-excess:])
+        return self.evict_blocks(evict)
+
     def evict_deep_free_space(self, threshold: float | None = None) -> int:
         """Evict blocks whose every voxel is at or below `threshold`
         (deeply carved free space: no sign crossing can touch them).

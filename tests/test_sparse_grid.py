@@ -207,3 +207,21 @@ def test_eviction_recycles_slots():
     assert sparse._next_slot <= n0 + 1
     mesh = sparse.extract_mesh(iso=1.0)
     assert mesh.num_triangles > 100
+
+
+def test_evict_far_from_working_set():
+    views = sphere_scene(n_views=4, width=96, height=72, focal=80.0)
+    sparse = SparseTSDFGrid(voxel_size=0.1, params=PARAMS, pixel_stride=2)
+    for v in views:
+        sparse.integrate_frame(v)
+    n0 = sparse.num_allocated
+    # Radius eviction: drop everything farther than 0.9 from the origin.
+    evicted = sparse.evict_far_from((0.0, 0.0, 0.0), radius=0.9)
+    assert 0 < evicted < n0
+    coords = np.array(list(sparse.block_map.keys()), np.float64)
+    centers = (coords + 0.5) * sparse._block_extent
+    assert (np.linalg.norm(centers, axis=1) <= 0.9 + 1e-9).all()
+    # Budget eviction: keep at most 20 blocks, nearest first.
+    sparse.evict_far_from((0.0, 0.0, 0.0), radius=float("inf"),
+                          keep_at_most=20)
+    assert sparse.num_allocated <= 20
