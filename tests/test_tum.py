@@ -118,3 +118,23 @@ def test_fuse_rgbd_cli_validation(tmp_path):
     assert fuse_rgbd.main(["--tum", "x", "--vti", "y", "--output", "m.vtp"]) == 1
     assert fuse_rgbd.main(["--vti", "a.txt", "--output", "m.vtp"]) == 1  # no krtd
     assert fuse_rgbd.main(["--tum", str(tmp_path), "--output", "m.obj"]) == 1
+
+
+def test_fuse_rgbd_cli_block_budget(tmp_path):
+    from cudadepthmapintegration_tpu.cli import fuse_rgbd
+    from cudadepthmapintegration_tpu.io import read_vtp
+
+    views = sphere_scene(n_views=6, width=64, height=48, focal=60.0)
+    make_tum_dir(tmp_path, views)
+    out = str(tmp_path / "budget.vtp")
+    rc = fuse_rgbd.main([
+        "--tum", str(tmp_path), "--voxelSize", "0.1",
+        "--pixelStride", "2", "--contour", "1.0",
+        "--intrinsics", "custom",
+        "--fx", "60", "--fy", "60", "--cx", "32", "--cy", "24",
+        "--blockBudget", "64",
+        "--output", out,
+    ])
+    assert rc == 0
+    mesh = read_vtp(out)  # still a mesh, from the capped working set
+    assert mesh.num_triangles > 20
