@@ -140,45 +140,42 @@ def _gather_pixels(depth, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
             covered |= match
 
     # Exact remainder: walk (8, 128) windows over the bbox of voxels the
-    # static passes did not cover. The bbox reductions (4 full reduces)
-    # run only when something was actually missed (rare), behind one
-    # any-reduce.
+    # static passes did not cover; zero while-loop iterations when covered.
+    # NOTE: guarding the bbox reductions behind a lax.cond hangs the Mosaic
+    # remote compile on this rig's toolchain (like the sj128 shapes), so
+    # they run unconditionally.
     rem = valid & ~covered
+    rv_lo = jnp.min(jnp.where(rem, vi, big))
+    rv_hi = jnp.max(jnp.where(rem, vi, -1))
+    ru_lo = jnp.min(jnp.where(rem, ui, big))
+    ru_hi = jnp.max(jnp.where(rem, ui, -1))
+    rv0 = jnp.clip((rv_lo // 8) * 8, 0, hp - 8)
+    ru0 = jnp.clip((ru_lo // 128) * 128, 0, wp - 128)
 
-    def do_remainder(d_in):
-        rv_lo = jnp.min(jnp.where(rem, vi, big))
-        rv_hi = jnp.max(jnp.where(rem, vi, -1))
-        ru_lo = jnp.min(jnp.where(rem, ui, big))
-        ru_hi = jnp.max(jnp.where(rem, ui, -1))
-        rv0 = jnp.clip((rv_lo // 8) * 8, 0, hp - 8)
-        ru0 = jnp.clip((ru_lo // 128) * 128, 0, wp - 128)
+    def row_cond(c_):
+        return c_[0] <= rv_hi
 
-        def row_cond(c_):
-            return c_[0] <= rv_hi
+    def row_body(c_):
+        rs, acc = c_
 
-        def row_body(c_):
-            rs, acc = c_
+        def col_cond(cc):
+            return cc[0] <= ru_hi
 
-            def col_cond(cc):
-                return cc[0] <= ru_hi
+        def col_body(cc):
+            cs_, cacc = cc
+            cacc = _window_pass(
+                depth,
+                pl.multiple_of(rs, 8),
+                pl.multiple_of(cs_, 128),
+                ui, vi, rem, cacc,
+            )
+            return cs_ + 128, cacc
 
-            def col_body(cc):
-                cs_, cacc = cc
-                cacc = _window_pass(
-                    depth,
-                    pl.multiple_of(rs, 8),
-                    pl.multiple_of(cs_, 128),
-                    ui, vi, rem, cacc,
-                )
-                return cs_ + 128, cacc
+        _, acc = jax.lax.while_loop(col_cond, col_body, (ru0, acc))
+        return rs + 8, acc
 
-            _, acc = jax.lax.while_loop(col_cond, col_body, (ru0, acc))
-            return rs + 8, acc
-
-        _, d_out = jax.lax.while_loop(row_cond, row_body, (rv0, d_in))
-        return d_out
-
-    return jax.lax.cond(jnp.any(rem), do_remainder, lambda x: x, d)
+    _, d = jax.lax.while_loop(row_cond, row_body, (rv0, d))
+    return d
 
 
 def _integrate_kernel_v2(
@@ -200,52 +197,61 @@ def _integrate_kernel_v2(
       per-row deviation > n_k-1) is EXACTLY covered by a generic
       while-walk over the bbox of still-uncovered voxels — zero
       iterations in the common case (same zero-iteration-remainder
-      philosophy the round-1 kernel measured as optimal vs lax.cond).
+      philosophy the round-1 kernel measured as optimal vs lax.cond);
+    * ``vb`` views are processed per grid step (their per-view
+      contributions accumulate in registers before ONE VMEM RMW per
+      subtile), amortizing the fixed per-step costs that dominate at
+      smaller grids.
     """
-    view = pl.program_id(2)
+    vb = depth_ref.shape[0]
 
-    @pl.when(view == 0)
+    @pl.when(pl.program_id(2) == 0)
     def _():
         out_ref[:] = vol_ref[:]
 
-    tx = tx_ref[0]  # (4, cx)
-    depth = depth_ref.at[0]  # (hp, wp) ref view for dynamic windows
-
-    zc0 = tz_ref[0, view, 0] + tc_ref[view, 0]
-    zc1 = tz_ref[0, view, 1] + tc_ref[view, 1]
-    zc2 = tz_ref[0, view, 2] + tc_ref[view, 2]
-    zc3 = tz_ref[0, view, 3] + tc_ref[view, 3]
-
+    view0 = pl.program_id(2) * vb
 
     def jt_body(jt, _):
-        tys = ty_ref[0, pl.ds(jt * sj, sj), :]  # (sj, 4)
         for it in range(cx // 128):
-            txs = tx[:, it * 128 : (it + 1) * 128]  # (4, 128)
-            h0 = tys[:, 0:1] + (txs[0][None, :] + zc0)
-            h1 = tys[:, 1:2] + (txs[1][None, :] + zc1)
-            h2 = tys[:, 2:3] + (txs[2][None, :] + zc2)
-            zcam = tys[:, 3:4] + (txs[3][None, :] + zc3)
-            u = _round_half_away(h0 / h2)
-            v = _round_half_away(h1 / h2)
-            valid = (h2 >= 0) & (u >= 0) & (v >= 0) & (u < w) & (v < h)
-            ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
-            vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
+            acc = jnp.zeros((sj, 128), jnp.float32)
+            for vv in range(vb):
+                view = view0 + vv
+                tx = tx_ref[vv]  # (4, cx)
+                depth = depth_ref.at[vv]  # (hp, wp)
+                tys = ty_ref[vv, pl.ds(jt * sj, sj), :]  # (sj, 4)
+                zc0 = tz_ref[0, view, 0] + tc_ref[view, 0]
+                zc1 = tz_ref[0, view, 1] + tc_ref[view, 1]
+                zc2 = tz_ref[0, view, 2] + tc_ref[view, 2]
+                zc3 = tz_ref[0, view, 3] + tc_ref[view, 3]
+                txs = tx[:, it * 128 : (it + 1) * 128]  # (4, 128)
+                h0 = tys[:, 0:1] + (txs[0][None, :] + zc0)
+                h1 = tys[:, 1:2] + (txs[1][None, :] + zc1)
+                h2 = tys[:, 2:3] + (txs[2][None, :] + zc2)
+                zcam = tys[:, 3:4] + (txs[3][None, :] + zc3)
+                u = _round_half_away(h0 / h2)
+                v = _round_half_away(h1 / h2)
+                valid = (h2 >= 0) & (u >= 0) & (v >= 0) & (u < w) & (v < h)
+                ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
+                vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
 
-            d = _gather_pixels(
-                depth, ui, vi, valid, hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k
-            )
+                d = _gather_pixels(
+                    depth, ui, vi, valid,
+                    hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
+                )
 
-            valid &= d != -1.0
-            # Ray potential (CudaReconstruction.cu:104-120).
-            diff = zcam - d
-            a = jnp.abs(diff)
-            far = jnp.where(diff > 0, 0.0, -eta * rho)
-            shell = rho * jnp.sign(diff)
-            ramp = (rho / thick) * diff
-            val = jnp.where(a > delta, far, jnp.where(a > thick, shell, ramp))
-            contrib = jnp.where(valid, val, 0.0)
+                valid &= d != -1.0
+                # Ray potential (CudaReconstruction.cu:104-120).
+                diff = zcam - d
+                a = jnp.abs(diff)
+                far = jnp.where(diff > 0, 0.0, -eta * rho)
+                shell = rho * jnp.sign(diff)
+                ramp = (rho / thick) * diff
+                val = jnp.where(
+                    a > delta, far, jnp.where(a > thick, shell, ramp)
+                )
+                acc = acc + jnp.where(valid, val, 0.0)
             sl = (0, pl.ds(jt * sj, sj), pl.ds(it * 128, 128))
-            out_ref[sl] += contrib
+            out_ref[sl] += acc
         return 0
 
     jax.lax.fori_loop(0, cy // sj, jt_body, 0)
@@ -372,7 +378,7 @@ def _integrate_kernel(
 
 def _pallas_integrate_impl(
     volume, tx, ty, tz, tc, depths, *, h, w, sj, n_wr, n_wc,
-    thick, rho, eta, delta, mode="windows", wr=32, n_k=2
+    thick, rho, eta, delta, mode="windows", wr=32, n_k=2, vb=1
 ):
     cz, cy, cx = volume.shape
     nviews, hp, wp = depths.shape
@@ -381,6 +387,10 @@ def _pallas_integrate_impl(
             f"volume (cy={cy}, cx={cx}) must be padded to multiples of "
             f"(subtile_rows={sj}, 128); see pad_volume/OrientedFusionPlan"
         )
+    if mode != "rowsel":
+        vb = 1
+    while nviews % vb:
+        vb -= 1  # plan pads views to a multiple of 8; fall back gracefully
     # Split the volume block along y when a full (cy, cx) slab (x2 in/out,
     # x2 double-buffered) would overflow VMEM; cap one block at ~2 MiB.
     cy_b = cy
@@ -407,13 +417,13 @@ def _pallas_integrate_impl(
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((cz, cy, cx), jnp.float32),
-        grid=(cz, n_jtb, nviews),
+        grid=(cz, n_jtb, nviews // vb),
         in_specs=[
-            pl.BlockSpec((1, 4, cx), lambda k, jb, v: (v, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cy_b, 4), lambda k, jb, v: (v, jb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((vb, 4, cx), lambda k, jb, v: (v, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((vb, cy_b, 4), lambda k, jb, v: (v, jb, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nviews, 4), lambda k, jb, v: (k, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((nviews, 4), lambda k, jb, v: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, hp, wp), lambda k, jb, v: (v, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((vb, hp, wp), lambda k, jb, v: (v, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cy_b, cx), lambda k, jb, v: (k, jb, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -432,7 +442,7 @@ def _pallas_integrate_impl(
 _pallas_integrate_padded = functools.partial(
     jax.jit,
     static_argnames=("h", "w", "sj", "n_wr", "n_wc", "thick", "rho", "eta",
-                     "delta", "mode", "wr", "n_k"),
+                     "delta", "mode", "wr", "n_k", "vb"),
     donate_argnames=("volume",),
 )(_pallas_integrate_impl)
 
@@ -467,6 +477,7 @@ def pallas_integrate(
     mode: str = "rowsel",
     window_rows: int = 32,
     rowsel_passes: int = 2,
+    view_block: int = 1,
 ):
     """Fuse all views into `volume` (returns the updated volume).
 
@@ -504,6 +515,7 @@ def pallas_integrate(
         thick=float(thick), rho=float(rho),
         eta=float(eta), delta=float(delta),
         mode=mode, wr=int(window_rows), n_k=int(rowsel_passes),
+        vb=int(view_block),
     )
 
 
@@ -649,7 +661,7 @@ class OrientedFusionPlan:
                 )
             )
 
-    def _build_runner(self, windows, mode, window_rows, rowsel_passes):
+    def _build_runner(self, windows, mode, window_rows, rowsel_passes, view_block):
         """One jitted chain over ALL groups: transpose -> pad -> kernel ->
         unpad -> inverse transpose per group, fused into a single dispatch
         (the round-1 plan issued ~4 eager dispatches per group per batch —
@@ -696,6 +708,7 @@ class OrientedFusionPlan:
                     thick=float(p.thick), rho=float(p.rho),
                     eta=float(p.eta), delta=float(p.delta),
                     mode=mode, wr=min(window_rows, hp), n_k=rowsel_passes,
+                    vb=view_block,
                 )
                 vol = jnp.transpose(out[:, :cyp, :cxp], inv)
             return vol
@@ -710,16 +723,19 @@ class OrientedFusionPlan:
         mode: str = "rowsel",
         window_rows: int = 32,
         rowsel_passes: int = 2,
+        view_block: int = 1,
     ):
         """Fuse the planned views into (cz, cy, cx) `volume_zyx`.
 
         The input volume buffer is DONATED when already on device (pass a
         fresh array or host data per call)."""
-        key = (tuple(windows), mode, int(window_rows), int(rowsel_passes))
+        key = (tuple(windows), mode, int(window_rows), int(rowsel_passes),
+               int(view_block))
         runner = self._runners.get(key)
         if runner is None:
             runner = self._runners[key] = self._build_runner(
-                tuple(windows), mode, int(window_rows), int(rowsel_passes)
+                tuple(windows), mode, int(window_rows), int(rowsel_passes),
+                int(view_block),
             )
         return runner(jnp.asarray(volume_zyx, jnp.float32))
 
@@ -736,6 +752,7 @@ def integrate_views_oriented(
     mode: str = "rowsel",
     window_rows: int = 32,
     rowsel_passes: int = 2,
+    view_block: int = 1,
 ):
     """High-level Pallas fusion: orientation-grouped, per-subtile adaptive.
 
@@ -751,4 +768,5 @@ def integrate_views_oriented(
     return plan.run(
         volume_zyx, windows=windows, mode=mode,
         window_rows=window_rows, rowsel_passes=rowsel_passes,
+        view_block=view_block,
     )

@@ -141,3 +141,21 @@ def test_rowsel_matches_oracle():
     exp = integrate_views_oracle(grid, views, PARAMS)
     err = np.abs(got - exp.astype(np.float32))
     assert (err > 1e-3).mean() == 0.0
+
+
+def test_view_block_variants_are_identical():
+    """vb=2/4 process multiple views per grid step with register
+    accumulation; results must be bit-identical to vb=1."""
+    views = sphere_scene(n_views=4, width=144, height=64, focal=60.0)
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    ref = np.asarray(
+        KP.integrate_views_oriented(vol, grid, views, PARAMS, mode="rowsel")
+    )
+    for vb in (2, 4, 3):  # 3 does not divide the padded view count -> falls back
+        got = np.asarray(
+            KP.integrate_views_oriented(
+                vol, grid, views, PARAMS, mode="rowsel", view_block=vb
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
