@@ -183,13 +183,21 @@ def main(argv: list[str] | None = None) -> int:
         # Second streaming pass: frames are RE-READ from the dataset in
         # view_chunk batches, so host memory stays O(one batch) instead of
         # retaining every fused frame (a 3000-frame TUM sequence would
-        # otherwise hold ~5 GB).
+        # otherwise hold ~5 GB). For .sens input, colorize through the
+        # NATIVE color camera (intrinsic_color + full-res image) instead of
+        # the depth-resampled color.
+        color_source = (
+            dataset.color_views()
+            if hasattr(dataset, "color_views")
+            else dataset
+        )
+
         class _LazyFusedViews:
             def __len__(self_inner):
                 return len(fused_indices)
 
             def __getitem__(self_inner, j):
-                return dataset[fused_indices[j]]
+                return color_source[fused_indices[j]]
 
         with log.phase("Colorize"):
             mesh = colorize_mesh(mesh, _LazyFusedViews(), view_chunk=32)

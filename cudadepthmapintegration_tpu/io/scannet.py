@@ -46,6 +46,78 @@ _COLOR_RAW = {-1, 0}
 _DEPTH_RAW = {-1, 0}
 
 
+def _rigid_inverse(m: np.ndarray) -> np.ndarray:
+    """Invert a rigid 4x4 (rotation transpose, not a general inverse)."""
+    r = m[:3, :3]
+    out = np.eye(4)
+    out[:3, :3] = r.T
+    out[:3, 3] = -r.T @ m[:3, 3]
+    return out
+
+
+class _SensColorView:
+    """A frame seen through the NATIVE color camera.
+
+    Real ScanNet color streams have different resolution/intrinsics than
+    depth (``intrinsic_color`` vs ``intrinsic_depth``). Coloration
+    (``ops/coloration.py``) projects mesh vertices with ``view.camera`` and
+    samples ``view.color`` against ``view.depth.shape`` bounds — so a view
+    that carries the color camera + full-resolution image colorizes
+    exactly, with no resampling. ``depth`` is a zero-storage broadcast
+    placeholder (coloration reads only its shape; the reference does no
+    depth/occlusion test either, ``MeshColoration.cxx:150-170``).
+    """
+
+    __slots__ = ("_ds", "_i")
+
+    def __init__(self, ds: "ScanNetSensDataset", i: int):
+        self._ds = ds
+        self._i = i
+
+    @property
+    def camera(self) -> Camera:
+        ds = self._ds
+        pose_cw = ds._frames[self._i][0]
+        return Camera(
+            k=ds.intrinsic_color[:3, :3],
+            rt=_rigid_inverse(pose_cw @ ds.extrinsic_color),
+        )
+
+    @property
+    def color(self) -> np.ndarray:
+        ds = self._ds
+        _, c_off, c_len, _, _ = ds._frames[self._i]
+        if not c_len:
+            return np.zeros((ds.color_height, ds.color_width, 3), np.uint8)
+        with open(ds.path, "rb") as f:
+            f.seek(c_off)
+            return ds._decode_color(f.read(c_len))
+
+    @property
+    def depth(self) -> np.ndarray:
+        ds = self._ds
+        return np.broadcast_to(
+            np.float64(-1.0), (ds.color_height, ds.color_width)
+        )
+
+    @property
+    def name(self) -> str:
+        return f"{os.path.basename(self._ds.path)}[color {self._i}]"
+
+
+class _SensColorViews:
+    """Lazy indexable sequence of :class:`_SensColorView`."""
+
+    def __init__(self, ds: "ScanNetSensDataset"):
+        self._ds = ds
+
+    def __len__(self) -> int:
+        return len(self._ds)
+
+    def __getitem__(self, i: int) -> _SensColorView:
+        return _SensColorView(self._ds, i)
+
+
 class ScanNetSensDataset:
     """Lazy sequence of DepthMapViews from a ScanNet ``.sens`` file."""
 
@@ -151,13 +223,22 @@ class ScanNetSensDataset:
             )
             color = color[np.ix_(ys, xs)]
         k = self.intrinsic_depth[:3, :3]
-        rt = np.eye(4)
-        r_cw = pose_cw[:3, :3]
-        rt[:3, :3] = r_cw.T
-        rt[:3, 3] = -r_cw.T @ pose_cw[:3, 3]
+        # world -> depth camera; composes extrinsic_depth (identity in
+        # released ScanNet scans, kept for format generality).
+        rt = _rigid_inverse(pose_cw @ self.extrinsic_depth)
         return DepthMapView(
             depth=depth,
             camera=Camera(k=k, rt=rt),
             color=color,
             name=f"{os.path.basename(self.path)}[{i}]",
         )
+
+    def color_views(self) -> _SensColorViews:
+        """Frames as NATIVE-color-camera views for exact coloration.
+
+        Use these (not the depth-geometry views, whose color is
+        nearest-resampled to depth resolution) when attaching vertex colors:
+        projection uses ``intrinsic_color``/``extrinsic_color`` and samples
+        the full-resolution image.
+        """
+        return _SensColorViews(self)

@@ -5,16 +5,20 @@ Replaces the gather stage of ``MeshColoration::ProcessColoration``
 path runs ~0.1 G elem/s on TPU (docs/KERNEL.md), which dominates
 capstone-scale colorization. Design:
 
-* **RGB packed into one fp32**: ``r*65536 + g*256 + b`` is an integer
-  < 2^24, exactly representable in a float32 mantissa — so every vertex
-  needs ONE image gather instead of three, and the gather machinery is
-  shared verbatim with the TSDF kernel (``integrate_pallas._gather_pixels``:
-  one-hot-matmul row selection + zero-iteration remainder walks).
+* **RGB packed into TWO fp32 planes**: ``rg = r*256 + g`` (< 2^16) and
+  ``b``. The rowsel machinery selects rows with a 0/1 MXU matmul; on this
+  chip ``precision=HIGHEST`` lowers to the 3-pass bf16 scheme whose
+  value-side split preserves only ~16 mantissa bits — a single 24-bit
+  ``r*65536+g*256+b`` plane came back with corrupted low bits (measured:
+  counts exact, colors wrong), while <=16-bit planes select exactly. Both
+  planes share one set of index reductions, selectors, and remainder walks
+  (``integrate_pallas._gather_pixels_multi``), so the extra plane costs one
+  dot + one lane-gather per window pass, not a second kernel.
 * **Vertex tiles**: marching-cubes output order is raster-coherent (welded
   vertices sort by global edge key), so consecutive (sj, 128) vertex tiles
   have compact image footprints, exactly like voxel subtiles.
-* **Grid (tiles, V)** with one packed color plane staged per view; the
-  kernel emits the packed SAMPLE per (vertex, view) (invalid -> -1.0), and
+* **Grid (tiles, V)** with the two packed planes staged per view; the
+  kernel emits packed SAMPLES per (vertex, view) (invalid -> -1.0), and
   mean / exact masked median / count are computed from the sample buffer
   downstream (``ops/coloration.py``) — no XLA image gathers anywhere.
 
@@ -34,31 +38,60 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import integrate_pallas as _ip
-from .integrate_pallas import _gather_pixels, _round_half_away
+from .integrate_pallas import _gather_pixels_multi, _round_half_away
 
 __all__ = ["gather_colors_pallas", "pack_colors", "unpack_colors"]
 
 
-def pack_colors(colors: np.ndarray) -> np.ndarray:
-    """(..., h, w, 3) uint8 -> (..., h, w) f32 packed r*65536+g*256+b."""
+def pack_colors(colors: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(..., h, w, 3) uint8 -> two (..., h, w) f32 planes (r*256+g, b).
+
+    Both planes stay < 2^16 so the MXU one-hot row select reproduces them
+    bit-exactly under the 3-pass bf16 lowering (see module docstring)."""
     c = colors.astype(np.float32)
-    return c[..., 0] * 65536.0 + c[..., 1] * 256.0 + c[..., 2]
+    return c[..., 0] * 256.0 + c[..., 1], c[..., 2]
 
 
-def unpack_colors(packed: np.ndarray) -> np.ndarray:
-    """(...,) f32 packed -> (..., 3) uint8 (undefined where packed < 0)."""
-    p = np.maximum(packed, 0.0)
-    r = np.floor(p / 65536.0)
-    g = np.floor((p - r * 65536.0) / 256.0)
-    b = p - r * 65536.0 - g * 256.0
-    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+def unpack_colors(rg: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Packed planes -> (..., 3) uint8 (undefined where rg < 0)."""
+    p = np.maximum(rg, 0.0)
+    r = np.floor(p / 256.0)
+    g = p - r * 256.0
+    return np.stack([r, g, np.maximum(b, 0.0)], axis=-1).astype(np.uint8)
+
+
+def _morton_order(points: np.ndarray) -> np.ndarray:
+    """Permutation sorting points by 30-bit 3-D Morton code over their bbox.
+
+    Consecutive vertices then form compact SURFACE PATCHES (not thin raster
+    slabs), so every (sj, 128) kernel tile projects to a small image window
+    under ANY camera — the worst-case remainder walk cost drops from
+    O(image) to O(patch footprint). Exactness is unaffected: samples are
+    inverse-permuted on the way out."""
+    lo = points.min(axis=0)
+    span = np.maximum(points.max(axis=0) - lo, 1e-12)
+    q = np.minimum(
+        ((points - lo) / span * 1024.0).astype(np.uint64), 1023
+    )
+
+    def spread(x):  # interleave 10 bits with 2-bit gaps
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    return np.argsort(code, kind="stable")
 
 
 def _colorize_kernel(
     pts_ref,  # (1, 3*sj, 128) vertex coords: rows [0:sj)=x, [sj:2sj)=y, ...
     proj_ref,  # (V, 12) SMEM: rows of K4@RT (3, 4) flattened
-    color_ref,  # (1, hp, wp) packed f32 color plane for this view
-    out_ref,  # (1, 1, sj, 128) packed samples for (tile, view)
+    rg_ref,  # (1, hp, wp) packed r*256+g plane for this view
+    b_ref,  # (1, hp, wp) b plane for this view
+    out_rg_ref,  # (1, 1, sj, 128) packed rg samples for (tile, view)
+    out_b_ref,  # (1, 1, sj, 128) b samples for (tile, view)
     *, h, w, hp, wp, sj, wr, n_wc, n_k, z_test,
 ):
     view = pl.program_id(1)
@@ -83,10 +116,12 @@ def _colorize_kernel(
         valid &= h2 > 0
     ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
     vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
-    g = _gather_pixels(
-        color_ref.at[0], ui, vi, valid, hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k
+    g_rg, g_b = _gather_pixels_multi(
+        (rg_ref.at[0], b_ref.at[0]), ui, vi, valid,
+        hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
     )
-    out_ref[0, 0] = jnp.where(valid, g, -1.0)
+    out_rg_ref[0, 0] = jnp.where(valid, g_rg, -1.0)
+    out_b_ref[0, 0] = jnp.where(valid, g_b, -1.0)
 
 
 @functools.partial(
@@ -94,33 +129,37 @@ def _colorize_kernel(
     static_argnames=("h", "w", "sj", "wr", "n_wc", "n_k", "z_test"),
 )
 def _gather_colors_padded(
-    pts, proj, packed, *, h, w, sj, wr, n_wc, n_k, z_test
+    pts, proj, rg, b, *, h, w, sj, wr, n_wc, n_k, z_test
 ):
     nt = pts.shape[0]
-    nv, hp, wp = packed.shape
+    nv, hp, wp = rg.shape
     kernel = functools.partial(
         _colorize_kernel,
         h=h, w=w, hp=hp, wp=wp, sj=sj, wr=wr, n_wc=n_wc, n_k=n_k,
         z_test=z_test,
     )
+    samp = jax.ShapeDtypeStruct((nt, nv, sj, 128), jnp.float32)
+    samp_spec = pl.BlockSpec(
+        (1, 1, sj, 128), lambda t, v: (t, v, 0, 0), memory_space=pltpu.VMEM
+    )
+    plane_spec = pl.BlockSpec(
+        (1, hp, wp), lambda t, v: (v, 0, 0), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nt, nv, sj, 128), jnp.float32),
+        out_shape=(samp, samp),
         grid=(nt, nv),
         in_specs=[
             pl.BlockSpec((1, 3 * sj, 128), lambda t, v: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nv, 12), lambda t, v: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, hp, wp), lambda t, v: (v, 0, 0),
-                         memory_space=pltpu.VMEM),
+            plane_spec,
+            plane_spec,
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, sj, 128), lambda t, v: (t, v, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=(samp_spec, samp_spec),
         interpret=_ip.INTERPRET,
-    )(pts, proj, packed)
+    )(pts, proj, rg, b)
 
 
 def gather_colors_pallas(
@@ -132,17 +171,22 @@ def gather_colors_pallas(
     window_rows: int = 32,
     n_wc: int = 2,
     n_k: int = 4,
+    morton: bool = True,
 ):
     """Returns (samples (V, N, 3) uint8, valid (V, N) bool)."""
     n = points.shape[0]
+    order = None
+    if morton and n:
+        order = _morton_order(points)
+        points = points[order]
     nv, hgt, wid = colors.shape[:3]
-    packed = pack_colors(colors)
+    rg, b = pack_colors(colors)
     ph = max(window_rows - hgt, (-hgt) % 8)
     pw = (-wid) % 128
     if ph or pw:
-        packed = np.pad(
-            packed, ((0, 0), (0, ph), (0, pw)), constant_values=-1.0
-        )
+        pad = ((0, 0), (0, ph), (0, pw))
+        rg = np.pad(rg, pad, constant_values=-1.0)
+        b = np.pad(b, pad, constant_values=-1.0)
     tile = sj * 128
     pad_n = (-n) % tile
     # Padded vertices project via a poisoned w-row: u stays out of bounds.
@@ -157,15 +201,25 @@ def gather_colors_pallas(
         .transpose(0, 3, 1, 2)
         .reshape(nt, 3 * sj, 128)
     )
-    out = _gather_colors_padded(
+    out_rg, out_b = _gather_colors_padded(
         jnp.asarray(pts_t),
         jnp.asarray(proj.reshape(nv, 12).astype(np.float32)),
-        jnp.asarray(packed),
+        jnp.asarray(rg),
+        jnp.asarray(b),
         h=int(hgt), w=int(wid), sj=int(sj), wr=int(min(window_rows, hgt + ph)),
         n_wc=int(n_wc), n_k=int(n_k), z_test=bool(z_test),
-    )  # (nt, V, sj, 128)
-    flat = (
-        np.asarray(out).transpose(1, 0, 2, 3).reshape(nv, nt * tile)[:, :n]
+    )  # 2 x (nt, V, sj, 128)
+    flat_rg = (
+        np.asarray(out_rg).transpose(1, 0, 2, 3).reshape(nv, nt * tile)[:, :n]
     )
-    valid = flat >= 0.0
-    return unpack_colors(flat), valid
+    flat_b = (
+        np.asarray(out_b).transpose(1, 0, 2, 3).reshape(nv, nt * tile)[:, :n]
+    )
+    valid = flat_rg >= 0.0
+    samples = unpack_colors(flat_rg, flat_b)
+    if order is not None:
+        inv = np.empty_like(order)
+        inv[order] = np.arange(n)
+        samples = samples[:, inv]
+        valid = valid[:, inv]
+    return samples, valid

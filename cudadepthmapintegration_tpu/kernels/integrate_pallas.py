@@ -66,53 +66,84 @@ def _round_half_away(x):
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
 
-def _window_pass(depth, rs, cs, ui, vi, sel, d):
+def _window_pass(planes, rs, cs, ui, vi, sel, ds_):
     """Gather one aligned (8, 128) image window into an (SJ, 128) voxel
-    subtile: 8 lane-gathers + row selects."""
-    win = depth[pl.ds(rs, 8), pl.ds(cs, 128)]
+    subtile: 8 lane-gathers + row selects (per plane; the row-match masks
+    are shared across planes)."""
+    wins = [p[pl.ds(rs, 8), pl.ds(cs, 128)] for p in planes]
     u_loc = jnp.clip(ui - cs, 0, 127)
     in_cols = (ui >= cs) & (ui < cs + 128)
     sel_c = sel & in_cols
     for rr in range(8):
-        rowv = jnp.broadcast_to(win[rr][None, :], sel.shape)
-        g = jnp.take_along_axis(rowv, u_loc, axis=1)
-        d = jnp.where(sel_c & (vi == rs + rr), g, d)
-    return d
+        match = sel_c & (vi == rs + rr)
+        ds_ = tuple(
+            jnp.where(
+                match,
+                jnp.take_along_axis(
+                    jnp.broadcast_to(win[rr][None, :], sel.shape), u_loc, axis=1
+                ),
+                d,
+            )
+            for win, d in zip(wins, ds_)
+        )
+    return ds_
 
 
-def _rowsel_pass(win, t, vi_loc, u_loc, sel_c, d, wr):
+def _rowsel_pass(wins, t, vi_loc, u_loc, sel_c, ds_, wr):
     """One row-select pass: pick image row ``t[s]`` (per voxel row, constant
-    along lanes) out of the (wr, 128) window with a 0/1-matrix MXU matmul,
-    then lane-gather columns — 1 dot + 1 gather instead of 8 gathers + 8
-    selects for the whole window.
+    along lanes) out of each (wr, 128) window plane with a 0/1-matrix MXU
+    matmul, then lane-gather columns — 1 dot + 1 gather per plane instead
+    of 8 gathers + 8 selects for the whole window. The one-hot selector and
+    the match mask are computed once and shared across planes.
 
-    Exactness: the selector is exactly 0.0/1.0 (bf16-exact), so every fp32
-    splitting scheme the MXU uses reproduces the selected depth bit-for-bit
-    (terms are x*1 and x*0); precision=HIGHEST pins the full-width path.
+    Exactness: the selector is exactly 0.0/1.0 and a 1.0 factor splits as
+    (1.0, 0, ...) in every bf16 multi-pass scheme, so the selected value
+    reproduces the source EXACTLY as long as the source's mantissa survives
+    the scheme's value-side split — 24-bit-safe only if HIGHEST lowers to
+    the full 3-way split on this chip, 16-bit-safe under the common 3-pass
+    (2-way) lowering. Callers packing integers into fp32 planes must
+    therefore keep plane values < 2^16 (see kernels/coloration_pallas.py).
     Out-of-range t rows produce an all-zero selector and a False match."""
     sj = vi_loc.shape[0]
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (sj, wr), 1)
     p = (iota_r == t).astype(jnp.float32)  # (sj, wr) one-hot (or zero) rows
-    a = jax.lax.dot_general(
-        p, win, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # (sj, 128)
-    g = jnp.take_along_axis(a, u_loc, axis=1)
     match = sel_c & (vi_loc == t) & (t < wr) & (t >= 0)
-    return jnp.where(match, g, d), match
+    out = []
+    for win, d in zip(wins, ds_):
+        a = jax.lax.dot_general(
+            p, win, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (sj, 128)
+        g = jnp.take_along_axis(a, u_loc, axis=1)
+        out.append(jnp.where(match, g, d))
+    return tuple(out), match
+
+
+def _window_pass1(depth, rs, cs, ui, vi, sel, d):
+    """Single-plane wrapper over :func:`_window_pass` (windows-mode path)."""
+    return _window_pass((depth,), rs, cs, ui, vi, sel, (d,))[0]
 
 
 def _gather_pixels(depth, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
     """Exact per-element image gather ``depth[vi, ui]`` for one voxel/vertex
-    subtile (the shared heart of the rowsel kernels).
+    subtile (the shared heart of the rowsel kernels). Single-plane wrapper
+    around :func:`_gather_pixels_multi` (identical trace for one plane)."""
+    return _gather_pixels_multi(
+        (depth,), ui, vi, valid, hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k
+    )[0]
 
-    `depth` is a (hp, wp) VMEM ref view; ui/vi int32 (sj, 128) with invalid
-    elements pointing at (0, 0); returns (sj, 128) f32 with unspecified
-    values where ~valid. Static coverage: an aligned (wr, 128*n_wc) window
-    anchored at the footprint minimum, n_k row-select passes per column
-    window; everything uncovered falls to a zero-iteration while-walk over
-    the uncovered bbox."""
+
+def _gather_pixels_multi(planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
+    """Exact per-element image gather ``plane[vi, ui]`` over one or more
+    same-shape (hp, wp) VMEM ref planes at SHARED indices — the index
+    reductions, one-hot selectors, and remainder walks are computed once.
+
+    ui/vi int32 (sj, 128) with invalid elements pointing at (0, 0); returns
+    a tuple of (sj, 128) f32 with unspecified values where ~valid. Static
+    coverage: an aligned (wr, 128*n_wc) window anchored at the footprint
+    minimum, n_k row-select passes per column window; everything uncovered
+    falls to a zero-iteration while-walk over the uncovered bbox."""
     big = jnp.int32(1 << 30)
     # Per-row image-v minimum does double duty: its column-min is the
     # subtile v_lo (saves a second full reduction) and, rebased by v0, it
@@ -128,15 +159,20 @@ def _gather_pixels(depth, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
     vi_loc = vi - v0  # >= 0 for valid voxels (v0 <= v_lo)
     rmin = rowmin - v0
 
-    d = jnp.zeros(valid.shape, jnp.float32)
+    ds_ = tuple(jnp.zeros(valid.shape, jnp.float32) for _ in planes)
     covered = jnp.zeros(valid.shape, jnp.bool_)
     for c in range(n_wc):
         cs = pl.multiple_of(u0 + 128 * c, 128)
-        win = depth[pl.ds(pl.multiple_of(v0, 8), wr), pl.ds(cs, 128)]
+        wins = [
+            p[pl.ds(pl.multiple_of(v0, 8), wr), pl.ds(cs, 128)]
+            for p in planes
+        ]
         u_loc = jnp.clip(ui - cs, 0, 127)
         sel_c = valid & (ui >= cs) & (ui < cs + 128)
         for k in range(n_k):
-            d, match = _rowsel_pass(win, rmin + k, vi_loc, u_loc, sel_c, d, wr)
+            ds_, match = _rowsel_pass(
+                wins, rmin + k, vi_loc, u_loc, sel_c, ds_, wr
+            )
             covered |= match
 
     # Exact remainder: walk (8, 128) windows over the bbox of voxels the
@@ -164,7 +200,7 @@ def _gather_pixels(depth, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
         def col_body(cc):
             cs_, cacc = cc
             cacc = _window_pass(
-                depth,
+                planes,
                 pl.multiple_of(rs, 8),
                 pl.multiple_of(cs_, 128),
                 ui, vi, rem, cacc,
@@ -174,8 +210,8 @@ def _gather_pixels(depth, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
         _, acc = jax.lax.while_loop(col_cond, col_body, (ru0, acc))
         return rs + 8, acc
 
-    _, d = jax.lax.while_loop(row_cond, row_body, (rv0, d))
-    return d
+    _, ds_ = jax.lax.while_loop(row_cond, row_body, (rv0, ds_))
+    return ds_
 
 
 def _integrate_kernel_v2(
@@ -315,7 +351,7 @@ def _integrate_kernel(
                 for wc in range(n_wc):
                     rs = pl.multiple_of(v0 + 8 * wr, 8)
                     cs = pl.multiple_of(u0 + 128 * wc, 128)
-                    d = _window_pass(depth, rs, cs, ui, vi, valid, d)
+                    d = _window_pass1(depth, rs, cs, ui, vi, valid, d)
 
             # Remainder B: columns right of the grid, within the grid's rows.
             for wr in range(n_wr):
@@ -326,7 +362,7 @@ def _integrate_kernel(
 
                 def colb_body(cc, rs=rs):
                     cs, cacc = cc
-                    cacc = _window_pass(
+                    cacc = _window_pass1(
                         depth, rs, pl.multiple_of(cs, 128), ui, vi, valid, cacc
                     )
                     return cs + 128, cacc
@@ -347,7 +383,7 @@ def _integrate_kernel(
 
                 def cola_body(cc):
                     cs, cacc = cc
-                    cacc = _window_pass(
+                    cacc = _window_pass1(
                         depth,
                         pl.multiple_of(rs, 8),
                         pl.multiple_of(cs, 128),

@@ -1,9 +1,14 @@
 """Hardware validation + micro-bench of the Pallas coloration kernel.
 
-Parity: colorize_points(backend='pallas') vs the XLA gather path on the
-chip. Perf: raw gather-stage throughput (vertex-color samples/s) of the
-packed-RGB rowsel kernel vs the XLA take_along_axis path at capstone-ish
-shape (256k mesh-ordered vertices x 64 views of 512^2).
+Stages:
+  0. MXU one-hot-select exactness probe — documents why colors are packed
+     into two <2^16 planes (r*256+g, b) instead of one 24-bit plane: the
+     fp32 dot at precision=HIGHEST corrupts low mantissa bits on this chip
+     if values need >~16 bits.
+  1. Parity: colorize_points(backend='pallas') vs the XLA gather path.
+  2. Perf on the REALISTIC workload: a marching-cubes sphere mesh (vertex
+     order = welded raster order, then Morton-tiled by the kernel wrapper)
+     x 64 orbiting views of 512^2 — and on adversarial random points.
 """
 
 import sys
@@ -13,6 +18,7 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+import jax
 import jax.numpy as jnp
 
 from cudadepthmapintegration_tpu.kernels.coloration_pallas import (
@@ -25,19 +31,53 @@ from cudadepthmapintegration_tpu.ops.coloration import (
 from cudadepthmapintegration_tpu.testing import sphere_scene
 
 
-def mesh_ordered_points(n, rng):
-    pts = (rng.random((n, 3)) - 0.5) * 2.4
-    return pts[np.lexsort(pts.T)]
+def mxu_probe():
+    """One-hot fp32 dot exactness vs mantissa width (plain XLA dot)."""
+    rng = np.random.default_rng(0)
+    for bits in (24, 16, 12):
+        vals = rng.integers(0, 1 << bits, (128, 128)).astype(np.float32)
+        onehot = np.eye(128, dtype=np.float32)[rng.permutation(128)]
+        got = np.asarray(
+            jax.jit(
+                lambda p, w: jax.lax.dot_general(
+                    p, w, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+            )(jnp.asarray(onehot), jnp.asarray(vals))
+        )
+        exp = onehot @ vals
+        bad = int((got != exp).sum())
+        print(f"  one-hot dot, {bits}-bit ints: "
+              f"{'EXACT' if bad == 0 else f'{bad}/16384 wrong'}", flush=True)
+
+
+def sphere_mc_mesh(n_target=1 << 18):
+    """Marching-cubes mesh of a sphere SDF at a resolution giving roughly
+    n_target vertices (vertex order = the production welded order)."""
+    from cudadepthmapintegration_tpu.ops.marching_cubes import marching_cubes
+
+    # Empirically ~3.5*dim^2 vertices for a sphere surface.
+    dim = int(np.sqrt(n_target / 3.5))
+    ax = np.linspace(-1.2, 1.2, dim, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(ax, ax, ax, indexing="ij")
+    vol = 1.0 - np.sqrt(xx * xx + yy * yy + zz * zz)
+    mesh = marching_cubes(vol, 0.0, ax, ax, ax)
+    return mesh.points.astype(np.float32)
 
 
 def main():
     rng = np.random.default_rng(3)
+
+    print("[0] MXU one-hot select exactness probe", flush=True)
+    mxu_probe()
+
     views = sphere_scene(n_views=8, width=256, height=192, focal=150.0)
     for v in views:
         v.color[:] = rng.integers(0, 256, v.color.shape, dtype=np.uint8)
 
     # --- parity on hardware -------------------------------------------
-    pts = mesh_ordered_points(4000, rng)
+    pts = ((rng.random((4000, 3)) - 0.5) * 2.4).astype(np.float64)
     a = colorize_points(pts, views, backend="pallas")
     b = colorize_points(pts, views, backend="xla", dtype=np.float32)
     ok = all(np.array_equal(x, y) for x, y in zip(a, b))
@@ -48,26 +88,29 @@ def main():
             print(f"  {name}: mismatches {(x != y).sum()}", flush=True)
 
     # --- gather-stage throughput --------------------------------------
-    n, nv, w, h = 1 << 18, 64, 512, 512
+    nv, w, h = 64, 512, 512
     big_views = sphere_scene(n_views=nv, width=w, height=h, focal=300.0)
     for v in big_views:
         v.color[:] = rng.integers(0, 256, v.color.shape, dtype=np.uint8)
-    pts = mesh_ordered_points(n, rng).astype(np.float32)
     proj = np.stack(
         [(v.camera.k4 @ v.camera.rt)[:3, :] for v in big_views]
     )
     colors = np.stack([v.color for v in big_views])
 
-    def time_pallas():
-        s, _ = gather_colors_pallas(pts, proj, colors)
+    mesh_pts = sphere_mc_mesh()
+    rand_pts = ((rng.random((1 << 18, 3)) - 0.5) * 2.4).astype(np.float32)
+    print(f"mesh verts: {len(mesh_pts)}, views: {nv} x {w}x{h}", flush=True)
+
+    def time_pallas(pts, **kw):
+        s, _ = gather_colors_pallas(pts, proj, colors, **kw)
         t0 = time.perf_counter()
-        s, _ = gather_colors_pallas(pts, proj, colors)
+        s, _ = gather_colors_pallas(pts, proj, colors, **kw)
         return time.perf_counter() - t0, s
 
-    def time_xla():
+    def time_xla(pts):
         colors_flat = jnp.asarray(colors.reshape(nv, h * w, 3))
         proj_j = jnp.asarray(proj.astype(np.float32))
-        pts_j = jnp.asarray(pts)
+        pts_j = jnp.asarray(pts.astype(np.float32))
         r, ok_ = _gather_chunk(pts_j, proj_j, colors_flat, h=h, w=w,
                                z_test=False)
         float(jnp.sum(r.astype(jnp.float32)))
@@ -75,16 +118,33 @@ def main():
         r, ok_ = _gather_chunk(pts_j, proj_j, colors_flat, h=h, w=w,
                                z_test=False)
         float(jnp.sum(r.astype(jnp.float32)))
-        return time.perf_counter() - t0, np.asarray(r), np.asarray(ok_)
+        return time.perf_counter() - t0
 
-    tp, sp = time_pallas()
-    tx, rx, okx = time_xla()
-    samples = n * nv
-    print(f"pallas gather: {samples / tp / 1e9:.2f} G samples/s "
-          f"({tp*1e3:.1f} ms)", flush=True)
-    print(f"xla gather:    {samples / tx / 1e9:.3f} G samples/s "
-          f"({tx*1e3:.1f} ms)", flush=True)
-    print(f"speedup: {tx / tp:.1f}x", flush=True)
+    tx = time_xla(mesh_pts)
+    gx = len(mesh_pts) * nv / tx / 1e9
+    print(f"xla gather (mesh):  {gx:.3f} G samples/s ({tx*1e3:.1f} ms)",
+          flush=True)
+
+    best = (None, 1e9)
+    for kw in (
+        dict(sj=16, window_rows=32, n_wc=2, n_k=4),
+        dict(sj=16, window_rows=64, n_wc=2, n_k=2),
+        dict(sj=32, window_rows=64, n_wc=2, n_k=2),
+        dict(sj=8, window_rows=32, n_wc=2, n_k=4),
+    ):
+        tp, _ = time_pallas(mesh_pts, **kw)
+        gp = len(mesh_pts) * nv / tp / 1e9
+        tag = f"sj{kw['sj']} wr{kw['window_rows']} k{kw['n_k']}"
+        print(f"pallas gather (mesh, {tag}): {gp:.2f} G samples/s "
+              f"({tp*1e3:.1f} ms, {tx/tp:.1f}x xla)", flush=True)
+        if tp < best[1]:
+            best = (kw, tp)
+
+    tpr, _ = time_pallas(rand_pts, **best[0])
+    gpr = len(rand_pts) * nv / tpr / 1e9
+    print(f"pallas gather (random pts, best cfg): {gpr:.2f} G samples/s "
+          f"({tpr*1e3:.1f} ms)", flush=True)
+    print(f"best: {best[0]}  speedup vs xla: {tx/best[1]:.1f}x", flush=True)
     return 0 if ok else 1
 
 

@@ -17,7 +17,10 @@ KP.INTERPRET = True
 def test_pack_unpack_roundtrip():
     rng = np.random.default_rng(0)
     c = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
-    np.testing.assert_array_equal(unpack_colors(pack_colors(c)), c)
+    np.testing.assert_array_equal(unpack_colors(*pack_colors(c)), c)
+    rg, b = pack_colors(c)
+    # Both planes must stay < 2^16 for exact MXU one-hot selection.
+    assert rg.max() < 65536.0 and b.max() < 65536.0
 
 
 def _scene(n_views=3):
