@@ -68,7 +68,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", type=str, required=True,
                    help="Output mesh path (.vtp)")
     p.add_argument("--colorize", action="store_true",
-                   help="Attach mean/median vertex colors from the frames")
+                   help="Attach mean/median vertex colors via a second "
+                        "streaming pass over the frames (exact projective "
+                        "coloration)")
+    p.add_argument("--onlineColor", action="store_true",
+                   help="Accumulate vertex colors ONLINE in a per-block "
+                        "color pool during fusion (single pass; works with "
+                        "--blockBudget eviction where a second pass over "
+                        "evicted geometry is impossible)")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -90,6 +97,13 @@ def main(argv: list[str] | None = None) -> int:
         return 1
     if ".vtp" not in args.output:
         print("Error : Bad output extension.", file=sys.stderr)
+        return 1
+    if args.colorize and args.onlineColor:
+        print(
+            "Error : --colorize and --onlineColor are exclusive (both "
+            "write MeanColoration)",
+            file=sys.stderr,
+        )
         return 1
 
     params = RayPotential(
@@ -140,6 +154,7 @@ def main(argv: list[str] | None = None) -> int:
         params=params,
         capacity=args.capacity,
         pixel_stride=args.pixelStride,
+        with_color=args.onlineColor,
     )
     n = len(dataset)
     if args.maxFrames is not None:
@@ -176,7 +191,10 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     with log.phase("Extract mesh"):
-        mesh = sparse.extract_mesh(iso=args.contour)
+        if args.onlineColor:
+            mesh = sparse.extract_colored_mesh(iso=args.contour)
+        else:
+            mesh = sparse.extract_mesh(iso=args.contour)
     if args.colorize and fused_indices:
         from ..ops.coloration import colorize_mesh
 

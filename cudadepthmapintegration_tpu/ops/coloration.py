@@ -56,8 +56,20 @@ def _gather_chunk(points, proj, colors_flat, h, w, z_test):
     Returns samples (Vc, N, 3) uint8 and valid (Vc, N) bool for one view
     batch — the project->gather stage of ``MeshColoration.cxx:150-170``.
     """
-    # hom[v, n, r] = proj[v, r, :3] @ p + proj[v, r, 3]
-    hom = jnp.einsum("vrc,nc->vnr", proj[:, :, :3], points) + proj[:, None, :, 3]
+    # hom[v, n, r] = proj[v, r, :3] @ p + proj[v, r, 3], written ELEMENTWISE
+    # in fixed left-to-right association ((px*x + py*y) + pz*z) + pw — NOT
+    # einsum: a TPU dot runs at default matmul precision (bf16 passes) and
+    # even at HIGHEST may associate differently, perturbing u/v by an ulp
+    # and flipping round()ed pixel indices between backends. Elementwise
+    # fp ops are never reassociated, so this matches the Pallas coloration
+    # kernel (and any fma backend) bit-for-bit at equal dtype.
+    p_ = proj[:, None, :, :]  # (V, 1, 3, 4)
+    hom = (
+        p_[..., 0] * points[None, :, None, 0]
+        + p_[..., 1] * points[None, :, None, 1]
+        + p_[..., 2] * points[None, :, None, 2]
+        + p_[..., 3]
+    )  # (V, N, 3)
     z = hom[..., 2]
     u = hom[..., 0] / z
     v = hom[..., 1] / z

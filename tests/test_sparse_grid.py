@@ -225,3 +225,59 @@ def test_evict_far_from_working_set():
     sparse.evict_far_from((0.0, 0.0, 0.0), radius=float("inf"),
                           keep_at_most=20)
     assert sparse.num_allocated <= 20
+
+
+def test_online_color_matches_projective_coloration():
+    """Online per-block color pool vs the exact second-pass coloration.
+
+    The online scheme averages pixel RGB over every (view, voxel-in-band)
+    observation at the NEAREST voxel center; the projective pass gathers at
+    the vertex itself. On a smooth shaded sphere the two must agree to
+    within the shading's local variation."""
+    from cudadepthmapintegration_tpu.ops.coloration import colorize_mesh
+
+    views = sphere_scene(n_views=8, width=96, height=72, focal=80.0)
+    sparse = SparseTSDFGrid(
+        voxel_size=0.08, params=PARAMS, pixel_stride=2, with_color=True
+    )
+    for v in views:
+        sparse.integrate_frame(v)
+    mesh = sparse.extract_colored_mesh(iso=1.0)
+    assert "MeanColoration" in mesh.point_data
+    assert "ColorWeight" in mesh.point_data
+    cnt = mesh.point_data["ColorWeight"]
+    online = mesh.point_data["MeanColoration"].astype(np.float64)
+    # Nearly every surface vertex was observed online.
+    assert (cnt > 0).mean() > 0.98
+    # Synthetic shading keeps R >= G >= B per pixel; means preserve it.
+    obs = cnt > 0
+    assert (online[obs, 0] >= online[obs, 1] - 1).all()
+    assert (online[obs, 1] >= online[obs, 2] - 1).all()
+    exact = colorize_mesh(mesh, views).point_data["MeanColoration"]
+    both = obs & (mesh.point_data.get("NbProjectedDepthMap", cnt) > 0)
+    diff = np.abs(online[both] - exact.astype(np.float64)[both])
+    # Voxel-center quantization + band-averaged shading: small bias only.
+    assert np.median(diff) < 12
+    assert diff.mean() < 20
+
+
+def test_online_color_pools_reset_on_eviction():
+    views = sphere_scene(n_views=4, width=96, height=72, focal=80.0)
+    sparse = SparseTSDFGrid(
+        voxel_size=0.1, params=PARAMS, pixel_stride=2, with_color=True
+    )
+    for v in views:
+        sparse.integrate_frame(v)
+    assert float(np.asarray(sparse.weight_pool).sum()) > 0
+    evicted = sparse.evict_far_from((0.0, 0.0, 0.0), radius=0.0)
+    assert evicted == sparse._free_slots.__len__()
+    w = np.asarray(sparse.weight_pool)
+    c = np.asarray(sparse.color_pool)
+    for s in sparse._free_slots:
+        assert (w[s] == 0).all() and (c[s] == 0).all()
+
+
+def test_vertex_colors_requires_with_color():
+    sparse = SparseTSDFGrid(voxel_size=0.1, params=PARAMS)
+    with pytest.raises(ValueError, match="with_color"):
+        sparse.vertex_colors(np.zeros((1, 3)))

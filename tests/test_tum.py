@@ -138,3 +138,30 @@ def test_fuse_rgbd_cli_block_budget(tmp_path):
     assert rc == 0
     mesh = read_vtp(out)  # still a mesh, from the capped working set
     assert mesh.num_triangles > 20
+
+
+def test_fuse_rgbd_cli_online_color(tmp_path):
+    from cudadepthmapintegration_tpu.cli import fuse_rgbd
+    from cudadepthmapintegration_tpu.io import read_vtp
+
+    views = sphere_scene(n_views=6, width=64, height=48, focal=60.0)
+    make_tum_dir(tmp_path, views)
+    out = str(tmp_path / "online.vtp")
+    rc = fuse_rgbd.main([
+        "--tum", str(tmp_path), "--voxelSize", "0.1",
+        "--pixelStride", "2", "--contour", "1.0",
+        "--intrinsics", "custom",
+        "--fx", "60", "--fy", "60", "--cx", "32", "--cy", "24",
+        "--output", out, "--onlineColor",
+    ])
+    assert rc == 0
+    mesh = read_vtp(out)
+    assert "MeanColoration" in mesh.point_data
+    assert "ColorWeight" in mesh.point_data
+    assert (mesh.point_data["ColorWeight"] > 0).mean() > 0.9
+    assert mesh.point_data["MeanColoration"].max() > 0
+    # --colorize and --onlineColor are mutually exclusive.
+    assert fuse_rgbd.main([
+        "--tum", str(tmp_path), "--output", out,
+        "--colorize", "--onlineColor",
+    ]) == 1
