@@ -51,6 +51,7 @@ __all__ = [
     "OrientedFusionPlan",
     "pallas_integrate",
     "integrate_views_oriented",
+    "split_depth_planes",
     "pad_volume",
     "unpad_volume",
     "best_axis_permutation",
@@ -60,6 +61,12 @@ __all__ = [
 # Set True (before first use) to run kernels in the Pallas interpreter
 # (CPU testing without TPU hardware).
 INTERPRET = False
+
+# Matmul precision of the one-hot row-select dot (see _rowsel_pass).
+# HIGHEST (6-pass / 3-way-split bf16) is what makes the select exact for
+# full 24-bit fp32 depth values; lower settings are for perf probes ONLY
+# (they truncate the selected depth mantissa). Read at trace time.
+ROWSEL_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _round_half_away(x):
@@ -112,7 +119,7 @@ def _rowsel_pass(wins, t, vi_loc, u_loc, sel_c, ds_, wr):
     for win, d in zip(wins, ds_):
         a = jax.lax.dot_general(
             p, win, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=ROWSEL_PRECISION,
             preferred_element_type=jnp.float32,
         )  # (sj, 128)
         g = jnp.take_along_axis(a, u_loc, axis=1)
@@ -120,9 +127,55 @@ def _rowsel_pass(wins, t, vi_loc, u_loc, sel_c, ds_, wr):
     return tuple(out), match
 
 
+def _rowsel_pass_sum(wins, t, vi_loc, u_loc, sel_c, d, wr):
+    """:func:`_rowsel_pass` over the 3 SPLIT PLANES of one logical image
+    (see :func:`split_depth_planes`): each plane is bf16-valued, so a
+    DEFAULT-precision dot (one MXU pass; the fp32->bf16 operand conversion
+    is lossless here) selects it exactly, and the fp32 sum of the three
+    selected plane values reconstructs the original 24-bit depth exactly
+    (non-overlapping mantissa segments add without rounding in any order).
+    Net: 3 MXU passes instead of HIGHEST's 6-pass scheme, same bits."""
+    sj = vi_loc.shape[0]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (sj, wr), 1)
+    p = (iota_r == t).astype(jnp.float32)
+    match = sel_c & (vi_loc == t) & (t < wr) & (t >= 0)
+    a = None
+    for win in wins:
+        ai = jax.lax.dot_general(
+            p, win, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+        a = ai if a is None else a + ai
+    g = jnp.take_along_axis(a, u_loc, axis=1)
+    return jnp.where(match, g, d), match
+
+
 def _window_pass1(depth, rs, cs, ui, vi, sel, d):
     """Single-plane wrapper over :func:`_window_pass` (windows-mode path)."""
     return _window_pass((depth,), rs, cs, ui, vi, sel, (d,))[0]
+
+
+def _window_pass_sum(planes, rs, cs, ui, vi, sel, d):
+    """Remainder-walk window pass over split planes: reconstruct the fp32
+    window once (two exact adds), then run the single-plane row loop."""
+    win = None
+    for p in planes:
+        w = p[pl.ds(rs, 8), pl.ds(cs, 128)]
+        win = w if win is None else win + w
+    u_loc = jnp.clip(ui - cs, 0, 127)
+    in_cols = (ui >= cs) & (ui < cs + 128)
+    sel_c = sel & in_cols
+    for rr in range(8):
+        match = sel_c & (vi == rs + rr)
+        d = jnp.where(
+            match,
+            jnp.take_along_axis(
+                jnp.broadcast_to(win[rr][None, :], sel.shape), u_loc, axis=1
+            ),
+            d,
+        )
+    return d
 
 
 def _gather_pixels(depth, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
@@ -134,7 +187,9 @@ def _gather_pixels(depth, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
     )[0]
 
 
-def _gather_pixels_multi(planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
+def _gather_pixels_multi(
+    planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k, sum_planes=False
+):
     """Exact per-element image gather ``plane[vi, ui]`` over one or more
     same-shape (hp, wp) VMEM ref planes at SHARED indices — the index
     reductions, one-hot selectors, and remainder walks are computed once.
@@ -143,7 +198,13 @@ def _gather_pixels_multi(planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
     a tuple of (sj, 128) f32 with unspecified values where ~valid. Static
     coverage: an aligned (wr, 128*n_wc) window anchored at the footprint
     minimum, n_k row-select passes per column window; everything uncovered
-    falls to a zero-iteration while-walk over the uncovered bbox."""
+    falls to a zero-iteration while-walk over the uncovered bbox.
+
+    sum_planes=True: `planes` are the 3 exact split planes of ONE logical
+    image (:func:`split_depth_planes`); the select dots run at DEFAULT
+    precision per plane and the plane sums reconstruct the fp32 value
+    exactly — returns a 1-tuple. (rowsel3 fast path, half the MXU work of
+    the HIGHEST-precision single-plane dot.)"""
     big = jnp.int32(1 << 30)
     # Per-row image-v minimum does double duty: its column-min is the
     # subtile v_lo (saves a second full reduction) and, rebased by v0, it
@@ -159,7 +220,8 @@ def _gather_pixels_multi(planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
     vi_loc = vi - v0  # >= 0 for valid voxels (v0 <= v_lo)
     rmin = rowmin - v0
 
-    ds_ = tuple(jnp.zeros(valid.shape, jnp.float32) for _ in planes)
+    n_out = 1 if sum_planes else len(planes)
+    ds_ = tuple(jnp.zeros(valid.shape, jnp.float32) for _ in range(n_out))
     covered = jnp.zeros(valid.shape, jnp.bool_)
     for c in range(n_wc):
         cs = pl.multiple_of(u0 + 128 * c, 128)
@@ -170,9 +232,15 @@ def _gather_pixels_multi(planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
         u_loc = jnp.clip(ui - cs, 0, 127)
         sel_c = valid & (ui >= cs) & (ui < cs + 128)
         for k in range(n_k):
-            ds_, match = _rowsel_pass(
-                wins, rmin + k, vi_loc, u_loc, sel_c, ds_, wr
-            )
+            if sum_planes:
+                d0, match = _rowsel_pass_sum(
+                    wins, rmin + k, vi_loc, u_loc, sel_c, ds_[0], wr
+                )
+                ds_ = (d0,)
+            else:
+                ds_, match = _rowsel_pass(
+                    wins, rmin + k, vi_loc, u_loc, sel_c, ds_, wr
+                )
             covered |= match
 
     # Exact remainder: walk (8, 128) windows over the bbox of voxels the
@@ -199,12 +267,20 @@ def _gather_pixels_multi(planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
 
         def col_body(cc):
             cs_, cacc = cc
-            cacc = _window_pass(
-                planes,
-                pl.multiple_of(rs, 8),
-                pl.multiple_of(cs_, 128),
-                ui, vi, rem, cacc,
-            )
+            if sum_planes:
+                cacc = (_window_pass_sum(
+                    planes,
+                    pl.multiple_of(rs, 8),
+                    pl.multiple_of(cs_, 128),
+                    ui, vi, rem, cacc[0],
+                ),)
+            else:
+                cacc = _window_pass(
+                    planes,
+                    pl.multiple_of(rs, 8),
+                    pl.multiple_of(cs_, 128),
+                    ui, vi, rem, cacc,
+                )
             return cs_ + 128, cacc
 
         _, acc = jax.lax.while_loop(col_cond, col_body, (ru0, acc))
@@ -217,6 +293,7 @@ def _gather_pixels_multi(planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
 def _integrate_kernel_v2(
     tx_ref, ty_ref, tz_ref, tc_ref, depth_ref, vol_ref, out_ref,
     *, h, w, hp, wp, cy, cx, sj, wr, n_wc, n_k, thick, rho, eta, delta,
+    split3=False,
 ):
     """Row-select-matmul kernel (v2 fast path).
 
@@ -253,7 +330,11 @@ def _integrate_kernel_v2(
             for vv in range(vb):
                 view = view0 + vv
                 tx = tx_ref[vv]  # (4, cx)
-                depth = depth_ref.at[vv]  # (hp, wp)
+                if split3:
+                    # (3, hp, wp): exact hi/mid/lo split planes.
+                    planes = tuple(depth_ref.at[vv, i] for i in range(3))
+                else:
+                    depth = depth_ref.at[vv]  # (hp, wp)
                 tys = ty_ref[vv, pl.ds(jt * sj, sj), :]  # (sj, 4)
                 zc0 = tz_ref[0, view, 0] + tc_ref[view, 0]
                 zc1 = tz_ref[0, view, 1] + tc_ref[view, 1]
@@ -270,10 +351,17 @@ def _integrate_kernel_v2(
                 ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
                 vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
 
-                d = _gather_pixels(
-                    depth, ui, vi, valid,
-                    hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
-                )
+                if split3:
+                    d = _gather_pixels_multi(
+                        planes, ui, vi, valid,
+                        hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
+                        sum_planes=True,
+                    )[0]
+                else:
+                    d = _gather_pixels(
+                        depth, ui, vi, valid,
+                        hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
+                    )
 
                 valid &= d != -1.0
                 # Ray potential (CudaReconstruction.cu:104-120).
@@ -412,19 +500,47 @@ def _integrate_kernel(
     jax.lax.fori_loop(0, cy // sj, jt_body, 0)
 
 
+def split_depth_planes(depths: np.ndarray) -> np.ndarray:
+    """Split (..., hp, wp) fp32 depth maps into 3 bf16-VALUED fp32 planes
+    (hi/mid/lo, stacked on a new axis -3) whose fp32 sum reconstructs the
+    input BIT-EXACTLY: each plane is the round-to-nearest bf16 of the
+    remaining residual, so the three carry non-overlapping ~8-bit mantissa
+    segments of the 24-bit fp32 significand (the same decomposition XLA's
+    own 6-pass HIGHEST matmul uses). Planes are stored upcast to fp32 so
+    VMEM slicing keeps fp32 (8, 128) alignment; a DEFAULT-precision TPU dot
+    converts them to bf16 losslessly."""
+    import ml_dtypes
+
+    d = np.ascontiguousarray(np.asarray(depths, np.float32))
+    hi = d.astype(ml_dtypes.bfloat16).astype(np.float32)
+    r = d - hi
+    mid = r.astype(ml_dtypes.bfloat16).astype(np.float32)
+    lo = r - mid  # <= 8 significant bits left: exactly bf16-valued
+    return np.stack([hi, mid, lo], axis=-3)
+
+
 def _pallas_integrate_impl(
     volume, tx, ty, tz, tc, depths, *, h, w, sj, n_wr, n_wc,
     thick, rho, eta, delta, mode="windows", wr=32, n_k=2, vb=1
 ):
     cz, cy, cx = volume.shape
-    nviews, hp, wp = depths.shape
+    split3 = mode == "rowsel3"
+    if split3:
+        nviews, _three, hp, wp = depths.shape
+    else:
+        nviews, hp, wp = depths.shape
     if cy % sj or cx % 128:
         raise ValueError(
             f"volume (cy={cy}, cx={cx}) must be padded to multiples of "
             f"(subtile_rows={sj}, 128); see pad_volume/OrientedFusionPlan"
         )
-    if mode != "rowsel":
+    if mode not in ("rowsel", "rowsel3"):
         vb = 1
+    # The (vb, [3,] hp, wp) depth block is double-buffered; keep it within
+    # half the 16 MiB scoped-VMEM budget (rowsel3 triples depth bytes).
+    depth_bytes = (3 if split3 else 1) * hp * wp * 4
+    while vb > 1 and vb * depth_bytes * 2 > (8 << 20):
+        vb -= 1
     while nviews % vb:
         vb -= 1  # plan pads views to a multiple of 8; fall back gracefully
     # Split the volume block along y when a full (cy, cx) slab (x2 in/out,
@@ -436,12 +552,13 @@ def _pallas_integrate_impl(
     while cy % cy_b:
         cy_b -= sj  # cy is a multiple of sj; find a divisor multiple of sj
     n_jtb = cy // cy_b
-    if mode == "rowsel":
+    if mode in ("rowsel", "rowsel3"):
         kernel = functools.partial(
             _integrate_kernel_v2,
             h=h, w=w, hp=hp, wp=wp, cy=cy_b, cx=cx, sj=sj,
             wr=min(wr, hp), n_wc=n_wc, n_k=n_k,
             thick=thick, rho=rho, eta=eta, delta=delta,
+            split3=split3,
         )
     else:
         kernel = functools.partial(
@@ -459,7 +576,17 @@ def _pallas_integrate_impl(
             pl.BlockSpec((vb, cy_b, 4), lambda k, jb, v: (v, jb, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nviews, 4), lambda k, jb, v: (k, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((nviews, 4), lambda k, jb, v: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((vb, hp, wp), lambda k, jb, v: (v, 0, 0), memory_space=pltpu.VMEM),
+            (
+                pl.BlockSpec(
+                    (vb, 3, hp, wp), lambda k, jb, v: (v, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                if split3
+                else pl.BlockSpec(
+                    (vb, hp, wp), lambda k, jb, v: (v, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ),
             pl.BlockSpec((1, cy_b, cx), lambda k, jb, v: (k, jb, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -523,19 +650,25 @@ def pallas_integrate(
 
     mode='rowsel' (default): one-hot-matmul row selection
     (:func:`_integrate_kernel_v2`) with `window_rows` image rows per window
-    and `rowsel_passes` static passes. mode='windows': the round-1 windowed
-    gather kernel with a static `windows` grid. Both are exact for ANY
+    and `rowsel_passes` static passes. mode='rowsel3': same kernel, but the
+    depth map is pre-split into 3 exact bf16-valued planes
+    (:func:`split_depth_planes`) so the select dots run at DEFAULT precision
+    (3 MXU passes total vs HIGHEST's 6) — bit-identical output, ~3x the
+    depth VMEM footprint. mode='windows': the round-1 windowed gather
+    kernel with a static `windows` grid. All modes are exact for ANY
     geometry — subtiles escaping the static structures take zero-iteration
     while-walk fallbacks, so the tunables affect speed, never values.
     """
     h, w = int(depths.shape[1]), int(depths.shape[2])
-    min_h = int(window_rows) if mode == "rowsel" else 8
+    min_h = int(window_rows) if mode in ("rowsel", "rowsel3") else 8
     ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
     if ph or pw:
         depths = np.pad(
             np.asarray(depths), ((0, 0), (0, ph), (0, pw)), constant_values=-1.0
         )
     hp, wp = h + ph, w + pw
+    if mode == "rowsel3":
+        depths = split_depth_planes(np.asarray(depths))  # (V, 3, hp, wp)
     n_wr = min(windows[0], hp // 8)
     n_wc = min(windows[1], wp // 128)
     sj = int(subtile_rows)
@@ -705,7 +838,7 @@ class OrientedFusionPlan:
         a device->host round trip per call). Tables/depths are staged in
         kernel layout ONCE here."""
         h, w = self._h, self._w
-        min_h = window_rows if mode == "rowsel" else 8
+        min_h = window_rows if mode in ("rowsel", "rowsel3") else 8
         ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
         hp, wp = h + ph, w + pw
         n_wr = min(windows[0], hp // 8)
@@ -719,6 +852,8 @@ class OrientedFusionPlan:
                 depths = np.pad(
                     depths, ((0, 0), (0, ph), (0, pw)), constant_values=-1.0
                 )
+            if mode == "rowsel3":
+                depths = split_depth_planes(depths)  # (G, 3, hp, wp)
             staged.append(
                 (
                     g["tx"],

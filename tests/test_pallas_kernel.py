@@ -159,3 +159,57 @@ def test_view_block_variants_are_identical():
             )
         )
         np.testing.assert_array_equal(got, ref)
+
+
+def test_split_depth_planes_reconstruct_exactly():
+    """The 3-way bf16-valued split must reconstruct arbitrary fp32 depth
+    maps bit-exactly (including the -1.0 invalid sentinel)."""
+    rng = np.random.default_rng(7)
+    d = (rng.standard_normal((3, 16, 128)).astype(np.float32) * 37.5).astype(
+        np.float32
+    )
+    d[0, :4] = -1.0
+    d[1, 2, 5] = np.float32(1e-30)  # tiny but normal
+    planes = KP.split_depth_planes(d)
+    assert planes.shape == (3, 3, 16, 128)
+    recon = planes[:, 0] + planes[:, 1] + planes[:, 2]
+    np.testing.assert_array_equal(recon, d)
+    # Any accumulation order is exact (non-overlapping mantissa segments).
+    recon2 = planes[:, 2] + planes[:, 1] + planes[:, 0]
+    np.testing.assert_array_equal(recon2, d)
+
+
+def test_rowsel3_matches_rowsel_exactly():
+    """rowsel3 (DEFAULT-precision dots over exact split planes) must agree
+    bit-for-bit with rowsel (HIGHEST-precision single-plane dot)."""
+    views = sphere_scene(n_views=4, width=144, height=64, focal=60.0)
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    ref = np.asarray(
+        KP.integrate_views_oriented(vol, grid, views, PARAMS, mode="rowsel")
+    )
+    for vb in (1, 2):
+        got = np.asarray(
+            KP.integrate_views_oriented(
+                vol, grid, views, PARAMS, mode="rowsel3", view_block=vb
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_rowsel3_degenerate_tunables_hit_remainder_walk():
+    """The rowsel3 remainder walk reconstructs the fp32 window from the
+    split planes; degenerate tunables must not change values."""
+    views = sphere_scene(n_views=3, width=144, height=64, focal=60.0)
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    ref = np.asarray(
+        KP.integrate_views_oriented(vol, grid, views, PARAMS, mode="rowsel3")
+    )
+    got = np.asarray(
+        KP.integrate_views_oriented(
+            vol, grid, views, PARAMS, mode="rowsel3",
+            window_rows=8, rowsel_passes=1,
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
