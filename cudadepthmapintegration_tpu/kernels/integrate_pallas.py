@@ -68,6 +68,12 @@ INTERPRET = False
 # (they truncate the selected depth mantissa). Read at trace time.
 ROWSEL_PRECISION = jax.lax.Precision.HIGHEST
 
+# Cap on the double-buffered (vb, [3,] hp, wp) depth block: view_block is
+# clamped so 2x the block stays under this many bytes of the ~16 MiB
+# scoped-VMEM budget (the volume block, tables, and kernel temporaries
+# share the rest). Module global so perf probes can sweep it.
+DEPTH_VMEM_BUDGET = 8 << 20
+
 
 def _round_half_away(x):
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
@@ -188,7 +194,8 @@ def _gather_pixels(depth, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
 
 
 def _gather_pixels_multi(
-    planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k, sum_planes=False
+    planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k, sum_planes=False,
+    fallback=True,
 ):
     """Exact per-element image gather ``plane[vi, ui]`` over one or more
     same-shape (hp, wp) VMEM ref planes at SHARED indices — the index
@@ -204,7 +211,19 @@ def _gather_pixels_multi(
     image (:func:`split_depth_planes`); the select dots run at DEFAULT
     precision per plane and the plane sums reconstruct the fp32 value
     exactly — returns a 1-tuple. (rowsel3 fast path, half the MXU work of
-    the HIGHEST-precision single-plane dot.)"""
+    the HIGHEST-precision single-plane dot.)
+
+    fallback=False: SKIP the in-kernel remainder machinery and return
+    ``(ds_, covered)`` instead, where ``covered`` is the closed-form
+    predicate of which voxels the static passes gathered exactly:
+    the static-pass matches are ``vi_loc == rmin + k`` with
+    ``rmin + k`` in [0, wr), unioned over k < n_k and over the n_wc
+    column windows, i.e. exactly
+    ``valid & vi_loc in [0, wr) & (vi - rowmin) < n_k & ui in
+    [u0, u0 + 128*n_wc)``. Measured on v5e (512^3 x 32): the remainder
+    machinery — 4 bbox reductions + two nested zero-iteration while
+    walks — was 72% of kernel time; callers that can re-dispatch an
+    exact pass on miss (see ``mode='rowsel3m'``) skip all of it."""
     big = jnp.int32(1 << 30)
     # Per-row image-v minimum does double duty: its column-min is the
     # subtile v_lo (saves a second full reduction) and, rebased by v0, it
@@ -222,7 +241,6 @@ def _gather_pixels_multi(
 
     n_out = 1 if sum_planes else len(planes)
     ds_ = tuple(jnp.zeros(valid.shape, jnp.float32) for _ in range(n_out))
-    covered = jnp.zeros(valid.shape, jnp.bool_)
     for c in range(n_wc):
         cs = pl.multiple_of(u0 + 128 * c, 128)
         wins = [
@@ -233,15 +251,28 @@ def _gather_pixels_multi(
         sel_c = valid & (ui >= cs) & (ui < cs + 128)
         for k in range(n_k):
             if sum_planes:
-                d0, match = _rowsel_pass_sum(
+                d0, _ = _rowsel_pass_sum(
                     wins, rmin + k, vi_loc, u_loc, sel_c, ds_[0], wr
                 )
                 ds_ = (d0,)
             else:
-                ds_, match = _rowsel_pass(
+                ds_, _ = _rowsel_pass(
                     wins, rmin + k, vi_loc, u_loc, sel_c, ds_, wr
                 )
-            covered |= match
+
+    # Closed-form coverage: a voxel matched pass k iff vi_loc == rmin + k
+    # with that row in [0, wr), so the union over k < n_k and over the
+    # n_wc column windows is this predicate — no per-pass bookkeeping.
+    covered = (
+        valid
+        & (vi_loc >= 0)
+        & (vi_loc < wr)
+        & (vi - rowmin < n_k)
+        & (ui >= u0)
+        & (ui < u0 + 128 * n_wc)
+    )
+    if not fallback:
+        return ds_, covered
 
     # Exact remainder: walk (8, 128) windows over the bbox of voxels the
     # static passes did not cover; zero while-loop iterations when covered.
@@ -292,8 +323,9 @@ def _gather_pixels_multi(
 
 def _integrate_kernel_v2(
     tx_ref, ty_ref, tz_ref, tc_ref, depth_ref, vol_ref, out_ref,
+    miss_ref=None,
     *, h, w, hp, wp, cy, cx, sj, wr, n_wc, n_k, thick, rho, eta, delta,
-    split3=False,
+    split3=False, track_miss=False,
 ):
     """Row-select-matmul kernel (v2 fast path).
 
@@ -315,12 +347,32 @@ def _integrate_kernel_v2(
       contributions accumulate in registers before ONE VMEM RMW per
       subtile), amortizing the fixed per-step costs that dominate at
       smaller grids.
+
+    track_miss=True (modes 'rowselm'/'rowsel3m'): the in-kernel remainder
+    machinery — measured at 72% of kernel time for ZERO common-case work —
+    is skipped entirely; voxels the static passes did not cover contribute
+    NOTHING and are counted into ``miss_ref`` (an (sj, 128) i32 buffer
+    accumulated across every grid step). The CALLER re-dispatches the
+    exact kernel when the total is nonzero (see ``pallas_integrate`` /
+    ``OrientedFusionPlan.run``), so results remain exact for arbitrary
+    geometry with the remainder cost paid only on actual misses.
     """
     vb = depth_ref.shape[0]
 
     @pl.when(pl.program_id(2) == 0)
     def _():
         out_ref[:] = vol_ref[:]
+
+    if track_miss:
+        first = (
+            (pl.program_id(0) == 0)
+            & (pl.program_id(1) == 0)
+            & (pl.program_id(2) == 0)
+        )
+
+        @pl.when(first)
+        def _():
+            miss_ref[:] = jnp.zeros((sj, 128), jnp.int32)
 
     view0 = pl.program_id(2) * vb
 
@@ -351,19 +403,23 @@ def _integrate_kernel_v2(
                 ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
                 vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
 
-                if split3:
-                    d = _gather_pixels_multi(
-                        planes, ui, vi, valid,
+                gp_planes = planes if split3 else (depth,)
+                if track_miss:
+                    ds_, covered = _gather_pixels_multi(
+                        gp_planes, ui, vi, valid,
                         hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
-                        sum_planes=True,
-                    )[0]
-                else:
-                    d = _gather_pixels(
-                        depth, ui, vi, valid,
-                        hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
+                        sum_planes=split3, fallback=False,
                     )
-
-                valid &= d != -1.0
+                    d = ds_[0]
+                    miss_ref[:] += (valid & ~covered).astype(jnp.int32)
+                    valid &= covered & (d != -1.0)
+                else:
+                    d = _gather_pixels_multi(
+                        gp_planes, ui, vi, valid,
+                        hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
+                        sum_planes=split3,
+                    )[0]
+                    valid &= d != -1.0
                 # Ray potential (CudaReconstruction.cu:104-120).
                 diff = zcam - d
                 a = jnp.abs(diff)
@@ -524,7 +580,8 @@ def _pallas_integrate_impl(
     thick, rho, eta, delta, mode="windows", wr=32, n_k=2, vb=1
 ):
     cz, cy, cx = volume.shape
-    split3 = mode == "rowsel3"
+    split3 = mode in ("rowsel3", "rowsel3m")
+    track_miss = mode in ("rowselm", "rowsel3m")
     if split3:
         nviews, _three, hp, wp = depths.shape
     else:
@@ -534,12 +591,14 @@ def _pallas_integrate_impl(
             f"volume (cy={cy}, cx={cx}) must be padded to multiples of "
             f"(subtile_rows={sj}, 128); see pad_volume/OrientedFusionPlan"
         )
-    if mode not in ("rowsel", "rowsel3"):
+    if mode not in ("rowsel", "rowsel3", "rowselm", "rowsel3m"):
         vb = 1
     # The (vb, [3,] hp, wp) depth block is double-buffered; keep it within
-    # half the 16 MiB scoped-VMEM budget (rowsel3 triples depth bytes).
+    # DEPTH_VMEM_BUDGET (rowsel3 triples depth bytes). NOTE: vb changes the
+    # fp32 accumulation ORDER across grid steps (vb views sum in registers
+    # before one VMEM RMW), so results are bit-stable only at fixed vb.
     depth_bytes = (3 if split3 else 1) * hp * wp * 4
-    while vb > 1 and vb * depth_bytes * 2 > (8 << 20):
+    while vb > 1 and vb * depth_bytes * 2 > DEPTH_VMEM_BUDGET:
         vb -= 1
     while nviews % vb:
         vb -= 1  # plan pads views to a multiple of 8; fall back gracefully
@@ -552,13 +611,13 @@ def _pallas_integrate_impl(
     while cy % cy_b:
         cy_b -= sj  # cy is a multiple of sj; find a divisor multiple of sj
     n_jtb = cy // cy_b
-    if mode in ("rowsel", "rowsel3"):
+    if mode in ("rowsel", "rowsel3", "rowselm", "rowsel3m"):
         kernel = functools.partial(
             _integrate_kernel_v2,
             h=h, w=w, hp=hp, wp=wp, cy=cy_b, cx=cx, sj=sj,
             wr=min(wr, hp), n_wc=n_wc, n_k=n_k,
             thick=thick, rho=rho, eta=eta, delta=delta,
-            split3=split3,
+            split3=split3, track_miss=track_miss,
         )
     else:
         kernel = functools.partial(
@@ -566,10 +625,24 @@ def _pallas_integrate_impl(
             h=h, w=w, hp=hp, wp=wp, cy=cy_b, cx=cx, sj=sj, n_wr=n_wr, n_wc=n_wc,
             thick=thick, rho=rho, eta=eta, delta=delta,
         )
+    vol_shape = jax.ShapeDtypeStruct((cz, cy, cx), jnp.float32)
+    vol_spec = pl.BlockSpec(
+        (1, cy_b, cx), lambda k, jb, v: (k, jb, 0), memory_space=pltpu.VMEM
+    )
+    if track_miss:
+        out_shape = (vol_shape, jax.ShapeDtypeStruct((sj, 128), jnp.int32))
+        out_specs = (
+            vol_spec,
+            pl.BlockSpec(
+                (sj, 128), lambda k, jb, v: (0, 0), memory_space=pltpu.VMEM
+            ),
+        )
+    else:
+        out_shape, out_specs = vol_shape, vol_spec
     flops_per_upd = 40
-    return pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((cz, cy, cx), jnp.float32),
+        out_shape=out_shape,
         grid=(cz, n_jtb, nviews // vb),
         in_specs=[
             pl.BlockSpec((vb, 4, cx), lambda k, jb, v: (v, 0, 0), memory_space=pltpu.VMEM),
@@ -589,9 +662,7 @@ def _pallas_integrate_impl(
             ),
             pl.BlockSpec((1, cy_b, cx), lambda k, jb, v: (k, jb, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, cy_b, cx), lambda k, jb, v: (k, jb, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=out_specs,
         input_output_aliases={5: 0},
         cost_estimate=pl.CostEstimate(
             flops=flops_per_upd * cz * cy * cx * nviews,
@@ -600,6 +671,10 @@ def _pallas_integrate_impl(
         ),
         interpret=INTERPRET,
     )(tx, ty, tz, tc, depths, volume)
+    if track_miss:
+        out, miss = res
+        return out, jnp.sum(miss)
+    return res
 
 
 _pallas_integrate_padded = functools.partial(
@@ -607,6 +682,14 @@ _pallas_integrate_padded = functools.partial(
     static_argnames=("h", "w", "sj", "n_wr", "n_wc", "thick", "rho", "eta",
                      "delta", "mode", "wr", "n_k", "vb"),
     donate_argnames=("volume",),
+)(_pallas_integrate_impl)
+
+# Miss-tracking modes keep the input volume alive so the exact re-dispatch
+# can consume it on a miss — no donation.
+_pallas_integrate_padded_keep = functools.partial(
+    jax.jit,
+    static_argnames=("h", "w", "sj", "n_wr", "n_wc", "thick", "rho", "eta",
+                     "delta", "mode", "wr", "n_k", "vb"),
 )(_pallas_integrate_impl)
 
 
@@ -654,20 +737,25 @@ def pallas_integrate(
     depth map is pre-split into 3 exact bf16-valued planes
     (:func:`split_depth_planes`) so the select dots run at DEFAULT precision
     (3 MXU passes total vs HIGHEST's 6) — bit-identical output, ~3x the
-    depth VMEM footprint. mode='windows': the round-1 windowed gather
-    kernel with a static `windows` grid. All modes are exact for ANY
-    geometry — subtiles escaping the static structures take zero-iteration
-    while-walk fallbacks, so the tunables affect speed, never values.
+    depth VMEM footprint. mode='rowselm'/'rowsel3m': same selection, but
+    the in-kernel remainder walk (measured 72% of kernel time for zero
+    common-case work) is replaced by a miss COUNT; on a nonzero count this
+    function re-dispatches the matching exact mode on the preserved input —
+    results are bit-identical to the exact mode in both branches.
+    mode='windows': the round-1 windowed gather kernel with a static
+    `windows` grid. All modes are exact for ANY geometry, so the tunables
+    affect speed, never values.
     """
     h, w = int(depths.shape[1]), int(depths.shape[2])
-    min_h = int(window_rows) if mode in ("rowsel", "rowsel3") else 8
+    rowsel_family = ("rowsel", "rowsel3", "rowselm", "rowsel3m")
+    min_h = int(window_rows) if mode in rowsel_family else 8
     ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
     if ph or pw:
         depths = np.pad(
             np.asarray(depths), ((0, 0), (0, ph), (0, pw)), constant_values=-1.0
         )
     hp, wp = h + ph, w + pw
-    if mode == "rowsel3":
+    if mode in ("rowsel3", "rowsel3m"):
         depths = split_depth_planes(np.asarray(depths))  # (V, 3, hp, wp)
     n_wr = min(windows[0], hp // 8)
     n_wc = min(windows[1], wp // 128)
@@ -676,16 +764,26 @@ def pallas_integrate(
     # (sublane-aligned jt slicing in the kernel).
     tz_kv = jnp.transpose(jnp.asarray(tables_tz), (2, 0, 1))
     ty_vc = jnp.transpose(jnp.asarray(tables_ty), (0, 2, 1))
-    return _pallas_integrate_padded(
-        jnp.asarray(volume, jnp.float32),
-        jnp.asarray(tables_tx), ty_vc, tz_kv, jnp.asarray(tables_tc),
-        jnp.asarray(depths),
+    vol_dev = jnp.asarray(volume, jnp.float32)
+    args = (jnp.asarray(tables_tx), ty_vc, tz_kv, jnp.asarray(tables_tc),
+            jnp.asarray(depths))
+    kw = dict(
         h=h, w=w, sj=sj, n_wr=n_wr, n_wc=n_wc,
         thick=float(thick), rho=float(rho),
         eta=float(eta), delta=float(delta),
-        mode=mode, wr=int(window_rows), n_k=int(rowsel_passes),
+        wr=int(window_rows), n_k=int(rowsel_passes),
         vb=int(view_block),
     )
+    if mode in ("rowselm", "rowsel3m"):
+        out, miss = _pallas_integrate_padded_keep(
+            vol_dev, *args, mode=mode, **kw
+        )
+        if int(miss) == 0:
+            return out
+        return _pallas_integrate_padded(
+            vol_dev, *args, mode=mode[:-1], **kw
+        )
+    return _pallas_integrate_padded(vol_dev, *args, mode=mode, **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -787,6 +885,8 @@ class OrientedFusionPlan:
             views = [v.thresholded(threshold_best_cost) for v in views]
         self.params = params
         self.subtile_rows = int(subtile_rows)
+        # Miss count of the last miss-tracking run() (None before one).
+        self.last_miss: int | None = None
         self._h, self._w = (int(views[0].depth.shape[0]),
                             int(views[0].depth.shape[1]))
         self._runners: dict = {}
@@ -838,13 +938,15 @@ class OrientedFusionPlan:
         a device->host round trip per call). Tables/depths are staged in
         kernel layout ONCE here."""
         h, w = self._h, self._w
-        min_h = window_rows if mode in ("rowsel", "rowsel3") else 8
+        rowsel_family = ("rowsel", "rowsel3", "rowselm", "rowsel3m")
+        min_h = window_rows if mode in rowsel_family else 8
         ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
         hp, wp = h + ph, w + pw
         n_wr = min(windows[0], hp // 8)
         n_wc = min(windows[1], wp // 128)
         sj = self.subtile_rows
         p = self.params
+        track_miss = mode in ("rowselm", "rowsel3m")
         metas, staged = [], []
         for g in self.groups:
             depths = np.asarray(g["depths"])
@@ -852,7 +954,7 @@ class OrientedFusionPlan:
                 depths = np.pad(
                     depths, ((0, 0), (0, ph), (0, pw)), constant_values=-1.0
                 )
-            if mode == "rowsel3":
+            if mode in ("rowsel3", "rowsel3m"):
                 depths = split_depth_planes(depths)  # (G, 3, hp, wp)
             staged.append(
                 (
@@ -866,6 +968,7 @@ class OrientedFusionPlan:
             metas.append((g["order"], g["inv"], g["pad"], g["cyp"], g["cxp"]))
 
         def chain(vol, staged_arrays):
+            miss_total = jnp.int32(0)
             for (order, inv, (py, px), cyp, cxp), arrs in zip(
                 metas, staged_arrays
             ):
@@ -881,10 +984,15 @@ class OrientedFusionPlan:
                     mode=mode, wr=min(window_rows, hp), n_k=rowsel_passes,
                     vb=view_block,
                 )
+                if track_miss:
+                    out, miss = out
+                    miss_total = miss_total + miss
                 vol = jnp.transpose(out[:, :cyp, :cxp], inv)
-            return vol
+            return (vol, miss_total) if track_miss else vol
 
-        jitted = jax.jit(chain, donate_argnums=(0,))
+        # Miss-tracking runners keep the caller's volume alive for the
+        # exact re-dispatch on a miss (see run()); exact runners donate.
+        jitted = jax.jit(chain, donate_argnums=() if track_miss else (0,))
         return lambda vol: jitted(vol, staged)
 
     def run(
@@ -899,16 +1007,29 @@ class OrientedFusionPlan:
         """Fuse the planned views into (cz, cy, cx) `volume_zyx`.
 
         The input volume buffer is DONATED when already on device (pass a
-        fresh array or host data per call)."""
+        fresh array or host data per call). Miss-tracking modes
+        ('rowselm'/'rowsel3m') hold one extra volume buffer and re-dispatch
+        the matching exact mode when any voxel escaped the static passes
+        (count exposed as ``self.last_miss``) — output is bit-identical to
+        the exact mode either way."""
+
+        def get_runner(key):
+            runner = self._runners.get(key)
+            if runner is None:
+                runner = self._runners[key] = self._build_runner(*key)
+            return runner
+
         key = (tuple(windows), mode, int(window_rows), int(rowsel_passes),
                int(view_block))
-        runner = self._runners.get(key)
-        if runner is None:
-            runner = self._runners[key] = self._build_runner(
-                tuple(windows), mode, int(window_rows), int(rowsel_passes),
-                int(view_block),
-            )
-        return runner(jnp.asarray(volume_zyx, jnp.float32))
+        vol = jnp.asarray(volume_zyx, jnp.float32)
+        if mode in ("rowselm", "rowsel3m"):
+            out, miss = get_runner(key)(vol)
+            self.last_miss = int(miss)
+            if self.last_miss == 0:
+                return out
+            exact_key = (key[0], mode[:-1]) + key[2:]
+            return get_runner(exact_key)(vol)
+        return get_runner(key)(vol)
 
 
 def integrate_views_oriented(

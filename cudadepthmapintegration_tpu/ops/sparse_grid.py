@@ -57,7 +57,7 @@ __all__ = ["SparseTSDFGrid"]
 
 @partial(
     jax.jit,
-    static_argnames=("h", "w", "thick", "rho", "eta", "delta"),
+    static_argnames=("h", "w", "thick", "rho", "eta", "delta", "use_pallas"),
     donate_argnames=("pool",),
 )
 def _sparse_integrate(
@@ -66,8 +66,8 @@ def _sparse_integrate(
     proj_rows,  # (4, 4) f64->f32 rows 0..2 of P + camera-z row
     origins,  # (B, 3) f32 world-frame block origins
     axes,  # (3, bmax) f32 within-block center offsets per axis (x, y, z)
-    depth_flat,  # (h*w,) f32
-    h, w, thick, rho, eta, delta,
+    depth,  # (h, w) f32
+    h, w, thick, rho, eta, delta, use_pallas=False,
 ):
     bz, by, bx = pool.shape[1:]
     blocks = jnp.take(pool, slots, axis=0)  # (B, bz, by, bx)
@@ -90,18 +90,36 @@ def _sparse_integrate(
     u = jnp.sign(h0 / h2) * jnp.floor(jnp.abs(h0 / h2) + 0.5)
     v = jnp.sign(h1 / h2) * jnp.floor(jnp.abs(h1 / h2) + 0.5)
     valid = (h2 >= 0) & (u >= 0) & (v >= 0) & (u < w) & (v < h)
-    ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
-    vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
-    d = jnp.take(depth_flat, vi * w + ui)
+    d = _gather_depth(depth, u, v, valid, h, w, use_pallas)
     valid &= d != -1.0
     val = ray_potential_jnp(zcam, d, thick, rho, eta, delta)
     blocks = blocks + jnp.where(valid, val, 0.0)
     return pool.at[slots].set(blocks)
 
 
+def _gather_depth(depth, u, v, valid, h, w, use_pallas):
+    """``depth[v, u]`` where valid (else -1.0). use_pallas routes through
+    the windowed Pallas point-gather (``kernels/gather_points.py``, >10x
+    the serialized XLA gather on TPU; blocks arrive Morton-sorted so tile
+    footprints stay compact); the XLA path serves CPU runs."""
+    if use_pallas:
+        from ..kernels.gather_points import gather_pixels_pallas
+
+        ui = jnp.where(valid, u, -1.0).astype(jnp.int32)
+        vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
+        (d_flat,) = gather_pixels_pallas(
+            (depth,), ui.reshape(-1), vi.reshape(-1)
+        )
+        return d_flat.reshape(u.shape)
+    ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
+    vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
+    d = jnp.take(depth.reshape(-1), vi * w + ui)
+    return jnp.where(valid, d, -1.0)
+
+
 @partial(
     jax.jit,
-    static_argnames=("h", "w", "band"),
+    static_argnames=("h", "w", "band", "use_pallas"),
     donate_argnames=("color_pool", "weight_pool"),
 )
 def _sparse_accumulate_color(
@@ -111,9 +129,9 @@ def _sparse_accumulate_color(
     proj_rows,  # (4, 4) f32 rows 0..2 of P + camera-z row
     origins,  # (B, 3) f32 world-frame block origins
     axes,  # (3, bmax) f32 within-block center offsets per axis
-    depth_flat,  # (h*w,) f32
-    rgb_flat,  # (h*w, 3) f32
-    h, w, band,
+    depth,  # (h, w) f32
+    rgb,  # (h, w, 3) f32
+    h, w, band, use_pallas=False,
 ):
     """Online color accumulation: voxels within ±band of this frame's
     surface add the pixel's RGB weighted by linear proximity falloff
@@ -143,14 +161,37 @@ def _sparse_accumulate_color(
     u = jnp.sign(h0 / h2) * jnp.floor(jnp.abs(h0 / h2) + 0.5)
     v = jnp.sign(h1 / h2) * jnp.floor(jnp.abs(h1 / h2) + 0.5)
     valid = (h2 >= 0) & (u >= 0) & (v >= 0) & (u < w) & (v < h)
-    ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
-    vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
-    d = jnp.take(depth_flat, vi * w + ui)
+    if use_pallas:
+        from ..kernels.gather_points import gather_pixels_pallas
+
+        # Depth + the two packed color planes (r*256+g < 2^16, b) share one
+        # index pipeline; uint8-valued planes select exactly (see
+        # kernels/coloration_pallas.py on the <=16-bit plane requirement).
+        rg_plane = rgb[..., 0] * 256.0 + rgb[..., 1]
+        b_plane = rgb[..., 2]
+        ui = jnp.where(valid, u, -1.0).astype(jnp.int32)
+        vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
+        d_f, rg_f, b_f = gather_pixels_pallas(
+            (depth, rg_plane, b_plane), ui.reshape(-1), vi.reshape(-1)
+        )
+        d = d_f.reshape(u.shape)
+        rg_s = jnp.maximum(rg_f, 0.0).reshape(u.shape)
+        r_s = jnp.floor(rg_s / 256.0)
+        rgb_s = jnp.stack(
+            [r_s, rg_s - r_s * 256.0, jnp.maximum(b_f, 0.0).reshape(u.shape)],
+            axis=-1,
+        )  # (B, bz, by, bx, 3)
+    else:
+        ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
+        vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
+        d = jnp.take(depth.reshape(-1), vi * w + ui)
+        rgb_s = jnp.take(
+            rgb.reshape(-1, 3), vi * w + ui, axis=0
+        )  # (B, bz, by, bx, 3)
     near = valid & (d != -1.0)
-    rgb = jnp.take(rgb_flat, vi * w + ui, axis=0)  # (B, bz, by, bx, 3)
     falloff = jnp.maximum(0.0, 1.0 - jnp.abs(zcam - d) / band)
     wadd = near.astype(jnp.float32) * falloff
-    color_pool = color_pool.at[slots].add(rgb * wadd[..., None])
+    color_pool = color_pool.at[slots].add(rgb_s * wadd[..., None])
     weight_pool = weight_pool.at[slots].add(wadd)
     return color_pool, weight_pool
 
@@ -166,6 +207,7 @@ class SparseTSDFGrid:
         capacity: int = 1 << 14,
         pixel_stride: int = 4,
         with_color: bool = False,
+        gather_backend: str = "auto",
     ):
         self.voxel_size = float(voxel_size)
         self.params = params
@@ -173,6 +215,20 @@ class SparseTSDFGrid:
         self.capacity = int(capacity)
         self.pixel_stride = int(pixel_stride)
         self.with_color = bool(with_color)
+        # 'pallas': windowed point-gather kernel for the per-frame depth /
+        # color image reads (TPU; interpret-mode on CPU only in tests).
+        # 'xla': serialized jnp.take (portable). 'auto': pallas on TPU.
+        if gather_backend not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown gather_backend {gather_backend!r}")
+        if gather_backend == "auto":
+            import jax as _jax
+
+            gather_backend = (
+                "pallas"
+                if _jax.default_backend() not in ("cpu",)
+                else "xla"
+            )
+        self._use_pallas = gather_backend == "pallas"
         self.block_map: dict[tuple[int, int, int], int] = {}
         self._free_slots: list[int] = []
         self._next_slot = 0
@@ -399,6 +455,15 @@ class SparseTSDFGrid:
         if not coords_set:
             return self
         coords = sorted(coords_set)
+        if self._use_pallas and len(coords) > 2:
+            # Morton-order the touched blocks so consecutive gather tiles
+            # (2 blocks per (8, 128) tile) are spatial neighbors with
+            # compact image footprints. Block values are scatter-disjoint,
+            # so ordering never affects results.
+            from ..kernels.coloration_pallas import _morton_order
+
+            order = _morton_order(np.array(coords, np.float64))
+            coords = [coords[i] for i in order]
         slots = self._allocate(coords)
         # Bucket the block count to limit jit recompiles across frames:
         # padded entries use slot == capacity, which jnp gathers clamp
@@ -423,10 +488,11 @@ class SparseTSDFGrid:
             jnp.asarray(proj_rows),
             jnp.asarray(origins),
             jnp.asarray(self._axes),
-            jnp.asarray(view.depth.reshape(-1).astype(np.float32)),
+            jnp.asarray(view.depth.astype(np.float32)),
             h=int(h), w=int(w),
             thick=float(self.params.thick), rho=float(self.params.rho),
             eta=float(self.params.eta), delta=float(self.params.delta),
+            use_pallas=self._use_pallas,
         )
         if self.with_color and view.color is not None:
             self.color_pool, self.weight_pool = _sparse_accumulate_color(
@@ -436,10 +502,8 @@ class SparseTSDFGrid:
                 jnp.asarray(proj_rows),
                 jnp.asarray(origins),
                 jnp.asarray(self._axes),
-                jnp.asarray(view.depth.reshape(-1).astype(np.float32)),
-                jnp.asarray(
-                    np.asarray(view.color, np.float32).reshape(-1, 3)
-                ),
+                jnp.asarray(view.depth.astype(np.float32)),
+                jnp.asarray(np.asarray(view.color, np.float32)),
                 # Color band: the full truncation band, but at least ±1
                 # voxel — with a narrower band the voxels flanking the
                 # zero-crossing (where mesh vertices sample from) would
@@ -447,6 +511,7 @@ class SparseTSDFGrid:
                 # distance >> Euclidean) would miss the surface entirely.
                 h=int(h), w=int(w),
                 band=float(max(self.params.delta, self.voxel_size)),
+                use_pallas=self._use_pallas,
             )
         self.frames_fused += 1
         return self

@@ -246,6 +246,14 @@ class ShardedTSDFIntegrator:
         # np.pad a traced array inside shard_map). -1 padding preserves
         # semantics: a projection landing in the pad reads the invalid
         # sentinel and is rejected, exactly like the bounds test would.
+        if mode not in ("rowsel", "windows"):
+            # rowsel3* pre-split staging and the rowselm/rowsel3m host-side
+            # miss re-dispatch don't compose with a shard_map-embedded call
+            # yet (the miss check needs a host sync per step). TODO.md.
+            raise ValueError(
+                f"sharded integrate supports mode 'rowsel' or 'windows', "
+                f"got {mode!r}"
+            )
         min_h = window_rows if mode == "rowsel" else 8
         ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
         if ph or pw:

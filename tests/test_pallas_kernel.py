@@ -213,3 +213,57 @@ def test_rowsel3_degenerate_tunables_hit_remainder_walk():
         )
     )
     np.testing.assert_array_equal(got, ref)
+
+
+def test_rowsel3m_no_miss_matches_exact_bitwise():
+    """Default tunables cover the whole sphere scene: the miss kernel must
+    report zero misses and be bit-identical to the exact mode."""
+    views = sphere_scene(n_views=4, width=144, height=64, focal=60.0)
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    plan = KP.OrientedFusionPlan(grid, views, PARAMS, subtile_rows=16)
+    ref = np.asarray(plan.run(vol, mode="rowsel3"))
+    got = np.asarray(plan.run(vol, mode="rowsel3m"))
+    assert plan.last_miss == 0
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_rowselm_miss_triggers_exact_redispatch():
+    """Degenerate tunables (1-row window, 1 pass, 1 column window) force
+    misses; the miss path must detect them and re-dispatch the exact
+    kernel, yielding bit-identical results."""
+    views = sphere_scene(n_views=3, width=144, height=64, focal=60.0)
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    kw = dict(window_rows=8, rowsel_passes=1, windows=(1, 1))
+    plan = KP.OrientedFusionPlan(grid, views, PARAMS, subtile_rows=16)
+    ref = np.asarray(plan.run(vol, mode="rowsel", **kw))
+    for mode in ("rowselm", "rowsel3m"):
+        got = np.asarray(plan.run(vol, mode=mode, **kw))
+        assert plan.last_miss > 0, mode
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_integrate_miss_fallback_single_call():
+    """The low-level pallas_integrate API also re-dispatches on miss."""
+    from cudadepthmapintegration_tpu.ops.integrate import projection_tables
+
+    views = sphere_scene(n_views=2, width=144, height=64, focal=60.0)
+    # cells = dims-1: (cz, cy, cx) = (16, 16, 128) — already kernel-aligned
+    # (pallas_integrate, unlike the plan, takes pre-padded volumes).
+    grid = small_grid(dims=(129, 17, 17))
+    t = projection_tables(grid, views, np.float32)
+    depths = np.stack([v.depth for v in views]).astype(np.float32)
+    vol = np.zeros(grid.volume_shape, np.float32)
+    kw = dict(subtile_rows=16, window_rows=8, rowsel_passes=1, windows=(1, 1))
+    ref = np.asarray(KP.pallas_integrate(
+        vol, t.tx, t.ty, t.tz, t.tc, depths,
+        PARAMS.thick, PARAMS.rho, PARAMS.eta, PARAMS.delta,
+        mode="rowsel", **kw,
+    ))
+    got = np.asarray(KP.pallas_integrate(
+        vol, t.tx, t.ty, t.tz, t.tc, depths,
+        PARAMS.thick, PARAMS.rho, PARAMS.eta, PARAMS.delta,
+        mode="rowselm", **kw,
+    ))
+    np.testing.assert_array_equal(got, ref)
