@@ -40,8 +40,11 @@ from cudadepthmapintegration_tpu.ops import integrate as I
 from cudadepthmapintegration_tpu.testing import orbit_cameras, render_sphere_view
 
 # Kernel configuration benched (the tuned defaults; see docs/KERNEL.md).
+# rowsel3: exact bf16 split planes -> DEFAULT-precision select dots;
+# 6 passes per column window (the round-2.5 coverage sweep optimum:
+# k6 = 4.91 G upd/s @512^3 x 32 vs k2's 4.40, k8 regresses).
 KERNEL_PLAN_KW = dict(subtile_rows=64)
-KERNEL_RUN_KW = dict(mode="rowsel", window_rows=64, rowsel_passes=2)
+KERNEL_RUN_KW = dict(mode="rowsel3", window_rows=64, rowsel_passes=6)
 
 
 def build_workload(dims=513, n_views=32, width=512, height=512):

@@ -5,15 +5,18 @@ Replaces the gather stage of ``MeshColoration::ProcessColoration``
 path runs ~0.1 G elem/s on TPU (docs/KERNEL.md), which dominates
 capstone-scale colorization. Design:
 
-* **RGB packed into TWO fp32 planes**: ``rg = r*256 + g`` (< 2^16) and
-  ``b``. The rowsel machinery selects rows with a 0/1 MXU matmul; on this
-  chip ``precision=HIGHEST`` lowers to the 3-pass bf16 scheme whose
-  value-side split preserves only ~16 mantissa bits — a single 24-bit
-  ``r*65536+g*256+b`` plane came back with corrupted low bits (measured:
-  counts exact, colors wrong), while <=16-bit planes select exactly. Both
-  planes share one set of index reductions, selectors, and remainder walks
-  (``integrate_pallas._gather_pixels_multi``), so the extra plane costs one
-  dot + one lane-gather per window pass, not a second kernel.
+* **RGB as THREE bf16-exact fp32 planes** (r, g, b, each uint8-valued):
+  the rowsel machinery selects rows with a 0/1 MXU matmul; uint8 values
+  have <= 8 significant bits, so each plane's select dot runs at
+  ``Precision.DEFAULT`` — ONE exact MXU pass per plane (3 total), vs the
+  earlier two packed <=2^16 planes whose HIGHEST dots cost ~6 passes each
+  (a 24-bit ``r*65536+g*256+b`` single plane came back with corrupted low
+  bits on hardware — HIGHEST's value-side split preserves ~16 bits; the
+  round-2.5 split-plane work in ``integrate_pallas`` showed bf16-valued
+  planes at DEFAULT are bit-exact on hardware). All planes share one set
+  of index reductions, selectors, and remainder walks
+  (``integrate_pallas._gather_pixels_multi``), so a plane costs one dot +
+  one lane-gather per window pass, not a kernel.
 * **Vertex tiles**: marching-cubes output order is raster-coherent (welded
   vertices sort by global edge key), so consecutive (sj, 128) vertex tiles
   have compact image footprints, exactly like voxel subtiles.
@@ -88,10 +91,12 @@ def _morton_order(points: np.ndarray) -> np.ndarray:
 def _colorize_kernel(
     pts_ref,  # (1, 3*sj, 128) vertex coords: rows [0:sj)=x, [sj:2sj)=y, ...
     proj_ref,  # (V, 12) SMEM: rows of K4@RT (3, 4) flattened
-    rg_ref,  # (1, hp, wp) packed r*256+g plane for this view
-    b_ref,  # (1, hp, wp) b plane for this view
-    out_rg_ref,  # (1, 1, sj, 128) packed rg samples for (tile, view)
-    out_b_ref,  # (1, 1, sj, 128) b samples for (tile, view)
+    r_ref,  # (1, hp, wp) r channel plane for this view (uint8-valued f32)
+    g_ref,  # (1, hp, wp) g plane
+    b_ref,  # (1, hp, wp) b plane
+    out_r_ref,  # (1, 1, sj, 128) r samples for (tile, view)
+    out_g_ref,  # (1, 1, sj, 128) g samples
+    out_b_ref,  # (1, 1, sj, 128) b samples
     *, h, w, hp, wp, sj, wr, n_wc, n_k, z_test,
 ):
     view = pl.program_id(1)
@@ -116,12 +121,13 @@ def _colorize_kernel(
         valid &= h2 > 0
     ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
     vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
-    g_rg, g_b = _gather_pixels_multi(
-        (rg_ref.at[0], b_ref.at[0]), ui, vi, valid,
+    samples = _gather_pixels_multi(
+        (r_ref.at[0], g_ref.at[0], b_ref.at[0]), ui, vi, valid,
         hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
+        precisions=(jax.lax.Precision.DEFAULT,) * 3,
     )
-    out_rg_ref[0, 0] = jnp.where(valid, g_rg, -1.0)
-    out_b_ref[0, 0] = jnp.where(valid, g_b, -1.0)
+    for out_ref, smp in zip((out_r_ref, out_g_ref, out_b_ref), samples):
+        out_ref[0, 0] = jnp.where(valid, smp, -1.0)
 
 
 @functools.partial(
@@ -129,10 +135,10 @@ def _colorize_kernel(
     static_argnames=("h", "w", "sj", "wr", "n_wc", "n_k", "z_test"),
 )
 def _gather_colors_padded(
-    pts, proj, rg, b, *, h, w, sj, wr, n_wc, n_k, z_test
+    pts, proj, r, g, b, *, h, w, sj, wr, n_wc, n_k, z_test
 ):
     nt = pts.shape[0]
-    nv, hp, wp = rg.shape
+    nv, hp, wp = r.shape
     kernel = functools.partial(
         _colorize_kernel,
         h=h, w=w, hp=hp, wp=wp, sj=sj, wr=wr, n_wc=n_wc, n_k=n_k,
@@ -147,7 +153,7 @@ def _gather_colors_padded(
     )
     return pl.pallas_call(
         kernel,
-        out_shape=(samp, samp),
+        out_shape=(samp, samp, samp),
         grid=(nt, nv),
         in_specs=[
             pl.BlockSpec((1, 3 * sj, 128), lambda t, v: (t, 0, 0),
@@ -156,10 +162,11 @@ def _gather_colors_padded(
                          memory_space=pltpu.SMEM),
             plane_spec,
             plane_spec,
+            plane_spec,
         ],
-        out_specs=(samp_spec, samp_spec),
+        out_specs=(samp_spec, samp_spec, samp_spec),
         interpret=_ip.INTERPRET,
-    )(pts, proj, rg, b)
+    )(pts, proj, r, g, b)
 
 
 def gather_colors_pallas(
@@ -180,12 +187,14 @@ def gather_colors_pallas(
         order = _morton_order(points)
         points = points[order]
     nv, hgt, wid = colors.shape[:3]
-    rg, b = pack_colors(colors)
+    c = colors.astype(np.float32)
+    r, g, b = c[..., 0], c[..., 1], c[..., 2]
     ph = max(window_rows - hgt, (-hgt) % 8)
     pw = (-wid) % 128
     if ph or pw:
         pad = ((0, 0), (0, ph), (0, pw))
-        rg = np.pad(rg, pad, constant_values=-1.0)
+        r = np.pad(r, pad, constant_values=-1.0)
+        g = np.pad(g, pad, constant_values=-1.0)
         b = np.pad(b, pad, constant_values=-1.0)
     tile = sj * 128
     pad_n = (-n) % tile
@@ -201,22 +210,23 @@ def gather_colors_pallas(
         .transpose(0, 3, 1, 2)
         .reshape(nt, 3 * sj, 128)
     )
-    out_rg, out_b = _gather_colors_padded(
+    outs = _gather_colors_padded(
         jnp.asarray(pts_t),
         jnp.asarray(proj.reshape(nv, 12).astype(np.float32)),
-        jnp.asarray(rg),
+        jnp.asarray(r),
+        jnp.asarray(g),
         jnp.asarray(b),
         h=int(hgt), w=int(wid), sj=int(sj), wr=int(min(window_rows, hgt + ph)),
         n_wc=int(n_wc), n_k=int(n_k), z_test=bool(z_test),
-    )  # 2 x (nt, V, sj, 128)
-    flat_rg = (
-        np.asarray(out_rg).transpose(1, 0, 2, 3).reshape(nv, nt * tile)[:, :n]
-    )
-    flat_b = (
-        np.asarray(out_b).transpose(1, 0, 2, 3).reshape(nv, nt * tile)[:, :n]
-    )
-    valid = flat_rg >= 0.0
-    samples = unpack_colors(flat_rg, flat_b)
+    )  # 3 x (nt, V, sj, 128)
+    flat = [
+        np.asarray(o).transpose(1, 0, 2, 3).reshape(nv, nt * tile)[:, :n]
+        for o in outs
+    ]
+    valid = flat[0] >= 0.0
+    samples = np.stack(
+        [np.maximum(f, 0.0) for f in flat], axis=-1
+    ).astype(np.uint8)
     if order is not None:
         inv = np.empty_like(order)
         inv[order] = np.arange(n)

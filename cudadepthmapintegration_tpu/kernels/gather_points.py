@@ -32,7 +32,9 @@ from .integrate_pallas import _gather_pixels_multi
 __all__ = ["gather_pixels_pallas"]
 
 
-def _gather_kernel(ui_ref, vi_ref, *refs, hp, wp, wr, n_wc, n_k, n_planes):
+def _gather_kernel(
+    ui_ref, vi_ref, *refs, hp, wp, wr, n_wc, n_k, n_planes, precisions
+):
     plane_refs = refs[:n_planes]
     out_refs = refs[n_planes:]
     ui = ui_ref[0]  # (sj, 128) i32; < 0 marks invalid points
@@ -42,7 +44,7 @@ def _gather_kernel(ui_ref, vi_ref, *refs, hp, wp, wr, n_wc, n_k, n_planes):
     vis = jnp.where(valid, vi, 0)
     ds = _gather_pixels_multi(
         plane_refs, uis, vis, valid,
-        hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
+        hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k, precisions=precisions,
     )
     for o, d in zip(out_refs, ds):
         o[0] = jnp.where(valid, d, -1.0)
@@ -57,12 +59,16 @@ def gather_pixels_pallas(
     window_rows: int = 32,
     n_wc: int = 2,
     n_k: int = 4,
+    precisions=None,
 ):
     """Gather ``plane[vi[i], ui[i]]`` for every plane at shared indices.
 
     Returns a tuple of (N,) f32 arrays with -1.0 at invalid points. All ops
     are traced jnp/pallas (safe inside jit; shapes must be static). Tunables
     trade speed only — uncovered indices fall to the exact remainder walk.
+    ``precisions``: per-plane select-dot precision (None = HIGHEST, exact
+    for full fp32; pass Precision.DEFAULT for bf16-valued planes, e.g.
+    uint8 color channels — one exact MXU pass instead of ~6).
     """
     h, w = planes[0].shape
     wr = int(min(window_rows, max(8, -(-h // 8) * 8)))
@@ -87,6 +93,7 @@ def gather_pixels_pallas(
     kernel = functools.partial(
         _gather_kernel,
         hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=int(n_k), n_planes=len(planes),
+        precisions=None if precisions is None else tuple(precisions),
     )
     idx_spec = pl.BlockSpec(
         (1, sj, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM

@@ -102,7 +102,7 @@ def _window_pass(planes, rs, cs, ui, vi, sel, ds_):
     return ds_
 
 
-def _rowsel_pass(wins, t, vi_loc, u_loc, sel_c, ds_, wr):
+def _rowsel_pass(wins, t, vi_loc, u_loc, sel_c, ds_, wr, precisions=None):
     """One row-select pass: pick image row ``t[s]`` (per voxel row, constant
     along lanes) out of each (wr, 128) window plane with a 0/1-matrix MXU
     matmul, then lane-gather columns — 1 dot + 1 gather per plane instead
@@ -115,17 +115,22 @@ def _rowsel_pass(wins, t, vi_loc, u_loc, sel_c, ds_, wr):
     the scheme's value-side split — 24-bit-safe only if HIGHEST lowers to
     the full 3-way split on this chip, 16-bit-safe under the common 3-pass
     (2-way) lowering. Callers packing integers into fp32 planes must
-    therefore keep plane values < 2^16 (see kernels/coloration_pallas.py).
+    therefore keep plane values < 2^16 (see kernels/coloration_pallas.py);
+    bf16-VALUED planes (<= 8 significant bits, e.g. uint8 color channels or
+    :func:`split_depth_planes` output) may pass per-plane
+    ``precisions=[Precision.DEFAULT, ...]`` — a single exact MXU pass each.
     Out-of-range t rows produce an all-zero selector and a False match."""
     sj = vi_loc.shape[0]
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (sj, wr), 1)
     p = (iota_r == t).astype(jnp.float32)  # (sj, wr) one-hot (or zero) rows
     match = sel_c & (vi_loc == t) & (t < wr) & (t >= 0)
+    if precisions is None:
+        precisions = (ROWSEL_PRECISION,) * len(wins)
     out = []
-    for win, d in zip(wins, ds_):
+    for win, d, prec in zip(wins, ds_, precisions):
         a = jax.lax.dot_general(
             p, win, (((1,), (0,)), ((), ())),
-            precision=ROWSEL_PRECISION,
+            precision=prec,
             preferred_element_type=jnp.float32,
         )  # (sj, 128)
         g = jnp.take_along_axis(a, u_loc, axis=1)
@@ -195,7 +200,7 @@ def _gather_pixels(depth, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
 
 def _gather_pixels_multi(
     planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k, sum_planes=False,
-    fallback=True,
+    fallback=True, precisions=None,
 ):
     """Exact per-element image gather ``plane[vi, ui]`` over one or more
     same-shape (hp, wp) VMEM ref planes at SHARED indices — the index
@@ -257,7 +262,8 @@ def _gather_pixels_multi(
                 ds_ = (d0,)
             else:
                 ds_, _ = _rowsel_pass(
-                    wins, rmin + k, vi_loc, u_loc, sel_c, ds_, wr
+                    wins, rmin + k, vi_loc, u_loc, sel_c, ds_, wr,
+                    precisions=precisions,
                 )
 
     # Closed-form coverage: a voxel matched pass k iff vi_loc == rmin + k
@@ -276,9 +282,13 @@ def _gather_pixels_multi(
 
     # Exact remainder: walk (8, 128) windows over the bbox of voxels the
     # static passes did not cover; zero while-loop iterations when covered.
-    # NOTE: guarding the bbox reductions behind a lax.cond hangs the Mosaic
-    # remote compile on this rig's toolchain (like the sj128 shapes), so
-    # they run unconditionally.
+    # Measured (v5e, 512^3 x 32, k6): replacing the four rem-bbox
+    # reductions with two + conservative footprint-derived bounds REGRESSES
+    # 876 -> 1034 ms — with ~14% of pairs missing, walk-bbox TIGHTNESS
+    # (only the uncovered band, only its u-range) is worth far more than
+    # two ~46 ms reductions. Keep all four. NOTE: guarding them behind a
+    # lax.cond hangs the Mosaic remote compile on this rig's toolchain
+    # (like the sj128 shapes), so they run unconditionally.
     rem = valid & ~covered
     rv_lo = jnp.min(jnp.where(rem, vi, big))
     rv_hi = jnp.max(jnp.where(rem, vi, -1))

@@ -164,21 +164,20 @@ def _sparse_accumulate_color(
     if use_pallas:
         from ..kernels.gather_points import gather_pixels_pallas
 
-        # Depth + the two packed color planes (r*256+g < 2^16, b) share one
-        # index pipeline; uint8-valued planes select exactly (see
-        # kernels/coloration_pallas.py on the <=16-bit plane requirement).
-        rg_plane = rgb[..., 0] * 256.0 + rgb[..., 1]
-        b_plane = rgb[..., 2]
+        # Depth + the three uint8-valued channel planes share one index
+        # pipeline; bf16-exact channels select at DEFAULT precision (one
+        # MXU pass each), depth keeps the exact HIGHEST dot.
+        P = jax.lax.Precision
         ui = jnp.where(valid, u, -1.0).astype(jnp.int32)
         vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
-        d_f, rg_f, b_f = gather_pixels_pallas(
-            (depth, rg_plane, b_plane), ui.reshape(-1), vi.reshape(-1)
+        d_f, r_f, g_f, b_f = gather_pixels_pallas(
+            (depth, rgb[..., 0], rgb[..., 1], rgb[..., 2]),
+            ui.reshape(-1), vi.reshape(-1),
+            precisions=(P.HIGHEST, P.DEFAULT, P.DEFAULT, P.DEFAULT),
         )
         d = d_f.reshape(u.shape)
-        rg_s = jnp.maximum(rg_f, 0.0).reshape(u.shape)
-        r_s = jnp.floor(rg_s / 256.0)
         rgb_s = jnp.stack(
-            [r_s, rg_s - r_s * 256.0, jnp.maximum(b_f, 0.0).reshape(u.shape)],
+            [jnp.maximum(c.reshape(u.shape), 0.0) for c in (r_f, g_f, b_f)],
             axis=-1,
         )  # (B, bz, by, bx, 3)
     else:
