@@ -200,7 +200,7 @@ def _gather_pixels(depth, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
 
 def _gather_pixels_multi(
     planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k, sum_planes=False,
-    fallback=True, precisions=None,
+    fallback=True, precisions=None, anchors="exact",
 ):
     """Exact per-element image gather ``plane[vi, ui]`` over one or more
     same-shape (hp, wp) VMEM ref planes at SHARED indices — the index
@@ -236,9 +236,22 @@ def _gather_pixels_multi(
     # yield t >= wr -> zero selector -> remainder walk (same semantics as
     # an in-window-filtered min, since min(row) < wr whenever any element
     # is in-window).
-    rowmin = jnp.min(jnp.where(valid, vi, big), axis=1, keepdims=True)
+    if anchors == "endpoint":
+        # Under orientation grouping, u and v are fractional-linear (hence
+        # monotone) along the lane axis wherever the whole row is valid, so
+        # the row minima sit at lane 0 or 127 — two static lane slices
+        # replace the 128-lane masked reductions. Rows with an invalid
+        # endpoint get a `big` anchor: their passes match nothing and the
+        # voxels fall to the EXACT remainder walk (anchors affect speed,
+        # never values; the coverage predicate below guards vi >= rowmin).
+        vm = jnp.where(valid, vi, big)
+        um = jnp.where(valid, ui, big)
+        rowmin = jnp.minimum(vm[:, :1], vm[:, 127:128])
+        u_lo = jnp.min(jnp.minimum(um[:, :1], um[:, 127:128]))
+    else:
+        rowmin = jnp.min(jnp.where(valid, vi, big), axis=1, keepdims=True)
+        u_lo = jnp.min(jnp.where(valid, ui, big))
     v_lo = jnp.min(rowmin)
-    u_lo = jnp.min(jnp.where(valid, ui, big))
     v0 = jnp.clip((v_lo // 8) * 8, 0, hp - wr)
     u0 = jnp.clip((u_lo // 128) * 128, 0, wp - 128 * n_wc)
     vi_loc = vi - v0  # >= 0 for valid voxels (v0 <= v_lo)
@@ -269,8 +282,11 @@ def _gather_pixels_multi(
     # Closed-form coverage: a voxel matched pass k iff vi_loc == rmin + k
     # with that row in [0, wr), so the union over k < n_k and over the
     # n_wc column windows is this predicate — no per-pass bookkeeping.
+    # (vi >= rowmin is automatic for exact anchors; endpoint anchors can
+    # overshoot a row's true minimum, so it must be tested.)
     covered = (
         valid
+        & (vi >= rowmin)
         & (vi_loc >= 0)
         & (vi_loc < wr)
         & (vi - rowmin < n_k)
@@ -335,7 +351,7 @@ def _integrate_kernel_v2(
     tx_ref, ty_ref, tz_ref, tc_ref, depth_ref, vol_ref, out_ref,
     miss_ref=None,
     *, h, w, hp, wp, cy, cx, sj, wr, n_wc, n_k, thick, rho, eta, delta,
-    split3=False, track_miss=False,
+    split3=False, track_miss=False, anchors="exact",
 ):
     """Row-select-matmul kernel (v2 fast path).
 
@@ -418,7 +434,7 @@ def _integrate_kernel_v2(
                     ds_, covered = _gather_pixels_multi(
                         gp_planes, ui, vi, valid,
                         hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
-                        sum_planes=split3, fallback=False,
+                        sum_planes=split3, fallback=False, anchors=anchors,
                     )
                     d = ds_[0]
                     miss_ref[:] += (valid & ~covered).astype(jnp.int32)
@@ -427,7 +443,7 @@ def _integrate_kernel_v2(
                     d = _gather_pixels_multi(
                         gp_planes, ui, vi, valid,
                         hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
-                        sum_planes=split3,
+                        sum_planes=split3, anchors=anchors,
                     )[0]
                     valid &= d != -1.0
                 # Ray potential (CudaReconstruction.cu:104-120).
@@ -587,7 +603,8 @@ def split_depth_planes(depths: np.ndarray) -> np.ndarray:
 
 def _pallas_integrate_impl(
     volume, tx, ty, tz, tc, depths, *, h, w, sj, n_wr, n_wc,
-    thick, rho, eta, delta, mode="windows", wr=32, n_k=2, vb=1
+    thick, rho, eta, delta, mode="windows", wr=32, n_k=2, vb=1,
+    anchors="exact",
 ):
     cz, cy, cx = volume.shape
     split3 = mode in ("rowsel3", "rowsel3m")
@@ -627,7 +644,7 @@ def _pallas_integrate_impl(
             h=h, w=w, hp=hp, wp=wp, cy=cy_b, cx=cx, sj=sj,
             wr=min(wr, hp), n_wc=n_wc, n_k=n_k,
             thick=thick, rho=rho, eta=eta, delta=delta,
-            split3=split3, track_miss=track_miss,
+            split3=split3, track_miss=track_miss, anchors=anchors,
         )
     else:
         kernel = functools.partial(
@@ -690,7 +707,7 @@ def _pallas_integrate_impl(
 _pallas_integrate_padded = functools.partial(
     jax.jit,
     static_argnames=("h", "w", "sj", "n_wr", "n_wc", "thick", "rho", "eta",
-                     "delta", "mode", "wr", "n_k", "vb"),
+                     "delta", "mode", "wr", "n_k", "vb", "anchors"),
     donate_argnames=("volume",),
 )(_pallas_integrate_impl)
 
@@ -699,7 +716,7 @@ _pallas_integrate_padded = functools.partial(
 _pallas_integrate_padded_keep = functools.partial(
     jax.jit,
     static_argnames=("h", "w", "sj", "n_wr", "n_wc", "thick", "rho", "eta",
-                     "delta", "mode", "wr", "n_k", "vb"),
+                     "delta", "mode", "wr", "n_k", "vb", "anchors"),
 )(_pallas_integrate_impl)
 
 
@@ -734,6 +751,7 @@ def pallas_integrate(
     window_rows: int = 32,
     rowsel_passes: int = 2,
     view_block: int = 1,
+    anchors: str = "exact",
 ):
     """Fuse all views into `volume` (returns the updated volume).
 
@@ -782,7 +800,7 @@ def pallas_integrate(
         thick=float(thick), rho=float(rho),
         eta=float(eta), delta=float(delta),
         wr=int(window_rows), n_k=int(rowsel_passes),
-        vb=int(view_block),
+        vb=int(view_block), anchors=str(anchors),
     )
     if mode in ("rowselm", "rowsel3m"):
         out, miss = _pallas_integrate_padded_keep(
@@ -940,7 +958,8 @@ class OrientedFusionPlan:
                 )
             )
 
-    def _build_runner(self, windows, mode, window_rows, rowsel_passes, view_block):
+    def _build_runner(self, windows, mode, window_rows, rowsel_passes,
+                      view_block, anchors):
         """One jitted chain over ALL groups: transpose -> pad -> kernel ->
         unpad -> inverse transpose per group, fused into a single dispatch
         (the round-1 plan issued ~4 eager dispatches per group per batch —
@@ -992,7 +1011,7 @@ class OrientedFusionPlan:
                     thick=float(p.thick), rho=float(p.rho),
                     eta=float(p.eta), delta=float(p.delta),
                     mode=mode, wr=min(window_rows, hp), n_k=rowsel_passes,
-                    vb=view_block,
+                    vb=view_block, anchors=anchors,
                 )
                 if track_miss:
                     out, miss = out
@@ -1013,6 +1032,7 @@ class OrientedFusionPlan:
         window_rows: int = 32,
         rowsel_passes: int = 2,
         view_block: int = 1,
+        anchors: str = "exact",
     ):
         """Fuse the planned views into (cz, cy, cx) `volume_zyx`.
 
@@ -1030,14 +1050,14 @@ class OrientedFusionPlan:
             return runner
 
         key = (tuple(windows), mode, int(window_rows), int(rowsel_passes),
-               int(view_block))
+               int(view_block), str(anchors))
         vol = jnp.asarray(volume_zyx, jnp.float32)
         if mode in ("rowselm", "rowsel3m"):
             out, miss = get_runner(key)(vol)
             self.last_miss = int(miss)
             if self.last_miss == 0:
                 return out
-            exact_key = (key[0], mode[:-1]) + key[2:]
+            exact_key = (key[0], mode[:-1]) + key[2:]  # anchors rides along
             return get_runner(exact_key)(vol)
         return get_runner(key)(vol)
 
@@ -1055,6 +1075,7 @@ def integrate_views_oriented(
     window_rows: int = 32,
     rowsel_passes: int = 2,
     view_block: int = 1,
+    anchors: str = "exact",
 ):
     """High-level Pallas fusion: orientation-grouped, per-subtile adaptive.
 
@@ -1070,5 +1091,5 @@ def integrate_views_oriented(
     return plan.run(
         volume_zyx, windows=windows, mode=mode,
         window_rows=window_rows, rowsel_passes=rowsel_passes,
-        view_block=view_block,
+        view_block=view_block, anchors=anchors,
     )

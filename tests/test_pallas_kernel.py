@@ -267,3 +267,30 @@ def test_pallas_integrate_miss_fallback_single_call():
         mode="rowselm", **kw,
     ))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_endpoint_anchors_are_exact():
+    """anchors='endpoint' replaces the per-row lane reductions with two
+    static endpoint slices; anchors affect coverage/speed, never values."""
+    views = sphere_scene(n_views=4, width=144, height=64, focal=60.0)
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    ref = np.asarray(
+        KP.integrate_views_oriented(vol, grid, views, PARAMS, mode="rowsel3")
+    )
+    for mode in ("rowsel", "rowsel3"):
+        got = np.asarray(
+            KP.integrate_views_oriented(
+                vol, grid, views, PARAMS, mode=mode, anchors="endpoint"
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+    # Degenerate tunables + endpoint anchors: everything still exact via
+    # the remainder walk.
+    got = np.asarray(
+        KP.integrate_views_oriented(
+            vol, grid, views, PARAMS, mode="rowsel3", anchors="endpoint",
+            window_rows=8, rowsel_passes=1, windows=(1, 1),
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
