@@ -34,7 +34,7 @@ def main():
 
     print("== rowsel3m coverage sweep @512^3 x 32 ==", flush=True)
     for n_k, n_wc in [(2, 2), (4, 2), (6, 2), (8, 2), (6, 1), (4, 3)]:
-        key = ((3, n_wc), "rowsel3m", 64, n_k, 1)
+        key = ((3, n_wc), "rowsel3m", 64, n_k, 1, "exact")
         try:
             runner = plan._runners.get(key)
             if runner is None:
