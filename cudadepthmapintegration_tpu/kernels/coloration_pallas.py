@@ -8,22 +8,26 @@ capstone-scale colorization. Design:
 * **RGB as THREE bf16-exact fp32 planes** (r, g, b, each uint8-valued):
   the rowsel machinery selects rows with a 0/1 MXU matmul; uint8 values
   have <= 8 significant bits, so each plane's select dot runs at
-  ``Precision.DEFAULT`` — ONE exact MXU pass per plane (3 total), vs the
-  earlier two packed <=2^16 planes whose HIGHEST dots cost ~6 passes each
-  (a 24-bit ``r*65536+g*256+b`` single plane came back with corrupted low
-  bits on hardware — HIGHEST's value-side split preserves ~16 bits; the
-  round-2.5 split-plane work in ``integrate_pallas`` showed bf16-valued
-  planes at DEFAULT are bit-exact on hardware). All planes share one set
-  of index reductions, selectors, and remainder walks
+  ``Precision.DEFAULT`` — ONE exact MXU pass per plane (3 total,
+  measured bit-exact on hardware by the round-2.5 split-plane work in
+  ``integrate_pallas``), vs the earlier two packed <=2^16 planes whose
+  HIGHEST dots cost ~6 passes each. (History: a 24-bit packed
+  ``r*65536+g*256+b`` single plane came back with corrupted low bits at
+  HIGHEST in round 2 — unresolved, and in tension with the later
+  measurement that HIGHEST selects full fp32 depth bit-exactly; packed
+  INTEGER planes stay conservatively < 2^16, see
+  ``integrate_pallas._rowsel_pass``.) All planes share one set of index
+  reductions, selectors, and remainder walks
   (``integrate_pallas._gather_pixels_multi``), so a plane costs one dot +
   one lane-gather per window pass, not a kernel.
 * **Vertex tiles**: marching-cubes output order is raster-coherent (welded
   vertices sort by global edge key), so consecutive (sj, 128) vertex tiles
   have compact image footprints, exactly like voxel subtiles.
-* **Grid (tiles, V)** with the two packed planes staged per view; the
-  kernel emits packed SAMPLES per (vertex, view) (invalid -> -1.0), and
-  mean / exact masked median / count are computed from the sample buffer
-  downstream (``ops/coloration.py``) — no XLA image gathers anywhere.
+* **Grid (tiles, V)** with the three channel planes staged per view; the
+  kernel emits per-channel SAMPLES per (vertex, view) (invalid -> -1.0),
+  and mean / exact masked median / count are computed from the sample
+  buffer downstream (``ops/coloration.py``) — no XLA image gathers
+  anywhere.
 
 Parity quirks preserved: projection with NO ``hom.z < 0`` rejection and no
 occlusion test (``ReconstructionData.cxx:169-182``), half-away rounding,
@@ -43,24 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import integrate_pallas as _ip
 from .integrate_pallas import _gather_pixels_multi, _round_half_away
 
-__all__ = ["gather_colors_pallas", "pack_colors", "unpack_colors"]
-
-
-def pack_colors(colors: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(..., h, w, 3) uint8 -> two (..., h, w) f32 planes (r*256+g, b).
-
-    Both planes stay < 2^16 so the MXU one-hot row select reproduces them
-    bit-exactly under the 3-pass bf16 lowering (see module docstring)."""
-    c = colors.astype(np.float32)
-    return c[..., 0] * 256.0 + c[..., 1], c[..., 2]
-
-
-def unpack_colors(rg: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Packed planes -> (..., 3) uint8 (undefined where rg < 0)."""
-    p = np.maximum(rg, 0.0)
-    r = np.floor(p / 256.0)
-    g = p - r * 256.0
-    return np.stack([r, g, np.maximum(b, 0.0)], axis=-1).astype(np.uint8)
+__all__ = ["gather_colors_pallas"]
 
 
 def _morton_order(points: np.ndarray) -> np.ndarray:

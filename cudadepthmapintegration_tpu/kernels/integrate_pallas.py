@@ -111,15 +111,18 @@ def _rowsel_pass(wins, t, vi_loc, u_loc, sel_c, ds_, wr, precisions=None):
 
     Exactness: the selector is exactly 0.0/1.0 and a 1.0 factor splits as
     (1.0, 0, ...) in every bf16 multi-pass scheme, so the selected value
-    reproduces the source EXACTLY as long as the source's mantissa survives
-    the scheme's value-side split — 24-bit-safe only if HIGHEST lowers to
-    the full 3-way split on this chip, 16-bit-safe under the common 3-pass
-    (2-way) lowering. Callers packing integers into fp32 planes must
-    therefore keep plane values < 2^16 (see kernels/coloration_pallas.py);
-    bf16-VALUED planes (<= 8 significant bits, e.g. uint8 color channels or
-    :func:`split_depth_planes` output) may pass per-plane
-    ``precisions=[Precision.DEFAULT, ...]`` — a single exact MXU pass each.
-    Out-of-range t rows produce an all-zero selector and a False match."""
+    reproduces the source exactly as long as the source's mantissa survives
+    the scheme's value-side split. MEASURED on this chip (round 2.5):
+    HIGHEST selection of full 24-bit fp32 depth planes is bit-identical to
+    the provably-exact rowsel3 split-plane path, and its timing matches a
+    6-pass (3-way-split) lowering. A round-2 experiment nevertheless saw
+    corrupted low bits selecting 24-bit PACKED-INTEGER planes
+    (r*65536+g*256+b) at HIGHEST — unresolved; stay conservative with
+    packed integers (keep planes < 2^16). bf16-VALUED planes (<= 8
+    significant bits: uint8 color channels, :func:`split_depth_planes`
+    output) may pass per-plane ``precisions=[Precision.DEFAULT, ...]`` —
+    a single exact MXU pass each. Out-of-range t rows produce an all-zero
+    selector and a False match."""
     sj = vi_loc.shape[0]
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (sj, wr), 1)
     p = (iota_r == t).astype(jnp.float32)  # (sj, wr) one-hot (or zero) rows
@@ -187,15 +190,6 @@ def _window_pass_sum(planes, rs, cs, ui, vi, sel, d):
             d,
         )
     return d
-
-
-def _gather_pixels(depth, ui, vi, valid, *, hp, wp, wr, n_wc, n_k):
-    """Exact per-element image gather ``depth[vi, ui]`` for one voxel/vertex
-    subtile (the shared heart of the rowsel kernels). Single-plane wrapper
-    around :func:`_gather_pixels_multi` (identical trace for one plane)."""
-    return _gather_pixels_multi(
-        (depth,), ui, vi, valid, hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k
-    )[0]
 
 
 def _gather_pixels_multi(
@@ -700,7 +694,12 @@ def _pallas_integrate_impl(
     )(tx, ty, tz, tc, depths, volume)
     if track_miss:
         out, miss = res
-        return out, jnp.sum(miss)
+        # Per-element int32 counts stay < 2^22 (grid steps per position),
+        # but the TOTAL reaches 1.7e10 at 1024^3 x 16 — sum in f32, whose
+        # non-negative rounding keeps zero iff all-zero (the re-dispatch
+        # test); the count is then approximate above 2^24, which is fine
+        # for diagnostics.
+        return out, jnp.sum(miss, dtype=jnp.float32)
     return res
 
 
@@ -918,6 +917,12 @@ class OrientedFusionPlan:
         self._h, self._w = (int(views[0].depth.shape[0]),
                             int(views[0].depth.shape[1]))
         self._runners: dict = {}
+        # Staged (tables + padded/split depth) device arrays, shared across
+        # runner variants that only differ in tunables/miss-tracking —
+        # keyed by (ph, pw, split3). Avoids re-padding/re-splitting and
+        # re-uploading ~100 MB of depth planes when e.g. a rowsel3m miss
+        # re-dispatches the rowsel3 runner.
+        self._staged_cache: dict = {}
         tables = projection_tables(grid, views, np.float32)
         axis_tables = {0: tables.tx, 1: tables.ty, 2: tables.tz}
         rots = [(v.camera.rt @ grid.matrix)[:3, :3] for v in views]
@@ -954,7 +959,10 @@ class OrientedFusionPlan:
                     ty=jnp.asarray(ty),
                     tz=jnp.asarray(tz),
                     tc=jnp.asarray(tc),
-                    depths=jnp.asarray(depths),
+                    # host-side: padded/split + uploaded per staged_key in
+                    # _build_runner (uploading the unpadded maps here would
+                    # just be downloaded again at staging time)
+                    depths=depths,
                 )
             )
 
@@ -976,28 +984,37 @@ class OrientedFusionPlan:
         sj = self.subtile_rows
         p = self.params
         track_miss = mode in ("rowselm", "rowsel3m")
-        metas, staged = [], []
-        for g in self.groups:
-            depths = np.asarray(g["depths"])
-            if ph or pw:
-                depths = np.pad(
-                    depths, ((0, 0), (0, ph), (0, pw)), constant_values=-1.0
+        split3 = mode in ("rowsel3", "rowsel3m")
+        staged_key = (ph, pw, split3)
+        staged = self._staged_cache.get(staged_key)
+        if staged is None:
+            staged = []
+            for g in self.groups:
+                depths = np.asarray(g["depths"])
+                if ph or pw:
+                    depths = np.pad(
+                        depths, ((0, 0), (0, ph), (0, pw)),
+                        constant_values=-1.0,
+                    )
+                if split3:
+                    depths = split_depth_planes(depths)  # (G, 3, hp, wp)
+                staged.append(
+                    (
+                        g["tx"],
+                        jnp.transpose(g["ty"], (0, 2, 1)),
+                        jnp.transpose(g["tz"], (2, 0, 1)),
+                        g["tc"],
+                        jnp.asarray(depths),
+                    )
                 )
-            if mode in ("rowsel3", "rowsel3m"):
-                depths = split_depth_planes(depths)  # (G, 3, hp, wp)
-            staged.append(
-                (
-                    g["tx"],
-                    jnp.transpose(g["ty"], (0, 2, 1)),
-                    jnp.transpose(g["tz"], (2, 0, 1)),
-                    g["tc"],
-                    jnp.asarray(depths),
-                )
-            )
-            metas.append((g["order"], g["inv"], g["pad"], g["cyp"], g["cxp"]))
+            self._staged_cache[staged_key] = staged
+        metas = [
+            (g["order"], g["inv"], g["pad"], g["cyp"], g["cxp"])
+            for g in self.groups
+        ]
 
         def chain(vol, staged_arrays):
-            miss_total = jnp.int32(0)
+            miss_total = jnp.float32(0)
             for (order, inv, (py, px), cyp, cxp), arrs in zip(
                 metas, staged_arrays
             ):

@@ -222,9 +222,11 @@ class SparseTSDFGrid:
         if gather_backend == "auto":
             import jax as _jax
 
+            # Whitelist TPU-ish backends: the kernel is Mosaic-lowered, so
+            # any other accelerator must take the portable XLA path.
             gather_backend = (
                 "pallas"
-                if _jax.default_backend() not in ("cpu",)
+                if _jax.default_backend() in ("tpu", "axon")
                 else "xla"
             )
         self._use_pallas = gather_backend == "pallas"

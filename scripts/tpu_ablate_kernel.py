@@ -54,12 +54,12 @@ def fresh_plan(grid, views, params):
 REAL_GPM = KP._gather_pixels_multi
 
 
-def gp_proj(planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k, sum_planes=False):
+def gp_proj(planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k, sum_planes=False, **kw):
     n_out = 1 if sum_planes else len(planes)
     return tuple(jnp.zeros(valid.shape, jnp.float32) for _ in range(n_out))
 
 
-def gp_anchor(planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k, sum_planes=False):
+def gp_anchor(planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k, sum_planes=False, **kw):
     big = jnp.int32(1 << 30)
     rowmin = jnp.min(jnp.where(valid, vi, big), axis=1, keepdims=True)
     v_lo = jnp.min(rowmin)
@@ -73,7 +73,7 @@ def gp_anchor(planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k, sum_planes=False)
     )
 
 
-def gp_passes(planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k, sum_planes=False):
+def gp_passes(planes, ui, vi, valid, *, hp, wp, wr, n_wc, n_k, sum_planes=False, **kw):
     big = jnp.int32(1 << 30)
     rowmin = jnp.min(jnp.where(valid, vi, big), axis=1, keepdims=True)
     v_lo = jnp.min(rowmin)

@@ -5,22 +5,11 @@ import numpy as np
 import cudadepthmapintegration_tpu.kernels.integrate_pallas as KP
 from cudadepthmapintegration_tpu.kernels.coloration_pallas import (
     gather_colors_pallas,
-    pack_colors,
-    unpack_colors,
 )
 from cudadepthmapintegration_tpu.ops.coloration import colorize_points
 from cudadepthmapintegration_tpu.testing import sphere_scene
 
 KP.INTERPRET = True
-
-
-def test_pack_unpack_roundtrip():
-    rng = np.random.default_rng(0)
-    c = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
-    np.testing.assert_array_equal(unpack_colors(*pack_colors(c)), c)
-    rg, b = pack_colors(c)
-    # Both planes must stay < 2^16 for exact MXU one-hot selection.
-    assert rg.max() < 65536.0 and b.max() < 65536.0
 
 
 def _scene(n_views=3):
