@@ -576,7 +576,7 @@ def _integrate_kernel(
     jax.lax.fori_loop(0, cy // sj, jt_body, 0)
 
 
-def split_depth_planes(depths: np.ndarray) -> np.ndarray:
+def split_depth_planes(depths):
     """Split (..., hp, wp) fp32 depth maps into 3 bf16-VALUED fp32 planes
     (hi/mid/lo, stacked on a new axis -3) whose fp32 sum reconstructs the
     input BIT-EXACTLY: each plane is the round-to-nearest bf16 of the
@@ -584,7 +584,17 @@ def split_depth_planes(depths: np.ndarray) -> np.ndarray:
     segments of the 24-bit fp32 significand (the same decomposition XLA's
     own 6-pass HIGHEST matmul uses). Planes are stored upcast to fp32 so
     VMEM slicing keeps fp32 (8, 128) alignment; a DEFAULT-precision TPU dot
-    converts them to bf16 losslessly."""
+    converts them to bf16 losslessly.
+
+    Accepts numpy (host split) or jax arrays (device split, jit-safe) —
+    device-resident pipelines (e.g. scripts/capstone_1024.py renders depth
+    maps on-chip) must never round-trip through the host."""
+    if isinstance(depths, jax.Array):
+        d = depths.astype(jnp.float32)
+        hi = d.astype(jnp.bfloat16).astype(jnp.float32)
+        r = d - hi
+        mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+        return jnp.stack([hi, mid, r - mid], axis=-3)
     import ml_dtypes
 
     d = np.ascontiguousarray(np.asarray(depths, np.float32))
@@ -777,13 +787,19 @@ def pallas_integrate(
     rowsel_family = ("rowsel", "rowsel3", "rowselm", "rowsel3m")
     min_h = int(window_rows) if mode in rowsel_family else 8
     ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
+    on_device = isinstance(depths, jax.Array)
     if ph or pw:
-        depths = np.pad(
-            np.asarray(depths), ((0, 0), (0, ph), (0, pw)), constant_values=-1.0
+        pad_fn = jnp.pad if on_device else np.pad
+        if not on_device:
+            depths = np.asarray(depths)
+        depths = pad_fn(
+            depths, ((0, 0), (0, ph), (0, pw)), constant_values=-1.0
         )
     hp, wp = h + ph, w + pw
     if mode in ("rowsel3", "rowsel3m"):
-        depths = split_depth_planes(np.asarray(depths))  # (V, 3, hp, wp)
+        # split_depth_planes dispatches on array type: device inputs split
+        # on device (no tunnel round trip).
+        depths = split_depth_planes(depths)  # (V, 3, hp, wp)
     n_wr = min(windows[0], hp // 8)
     n_wc = min(windows[1], wp // 128)
     sj = int(subtile_rows)

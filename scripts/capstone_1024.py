@@ -160,6 +160,11 @@ def main():
                 jax.lax.dynamic_slice_in_dim(g["tc"], s, batch, 0),
                 depths,
                 params.thick, params.rho, params.eta, params.delta,
+                # Tuned round-2.5 defaults (docs/KERNEL.md); the rendered
+                # depths stay on device — rowsel3's plane split runs
+                # on-chip too (split_depth_planes jax path).
+                subtile_rows=64, mode="rowsel3", window_rows=64,
+                rowsel_passes=6,
             )
             n_done += n_real_here
         vol = jnp.transpose(volp[:, : g["cyp"], : g["cxp"]], g["inv"])

@@ -294,3 +294,41 @@ def test_endpoint_anchors_are_exact():
         )
     )
     np.testing.assert_array_equal(got, ref)
+
+
+def test_split_depth_planes_device_matches_host():
+    """The jax-array split path must produce the same planes as the host
+    numpy path (device pipelines split on-chip, e.g. capstone_1024)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    d = (rng.standard_normal((2, 8, 128)) * 11.0).astype(np.float32)
+    d[0, 0] = -1.0
+    host = KP.split_depth_planes(d)
+    dev = np.asarray(KP.split_depth_planes(jnp.asarray(d)))
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_pallas_integrate_accepts_device_depths():
+    """rowsel3 with jax-array depths (on-device pad + split) must match
+    the numpy-staged path bit-for-bit."""
+    import jax.numpy as jnp
+
+    from cudadepthmapintegration_tpu.ops.integrate import projection_tables
+
+    views = sphere_scene(n_views=2, width=144, height=64, focal=60.0)
+    grid = small_grid(dims=(129, 17, 17))
+    t = projection_tables(grid, views, np.float32)
+    depths = np.stack([v.depth for v in views]).astype(np.float32)
+    vol = np.zeros(grid.volume_shape, np.float32)
+    args = (t.tx, t.ty, t.tz, t.tc)
+    kw = dict(subtile_rows=16, mode="rowsel3")
+    ref = np.asarray(KP.pallas_integrate(
+        vol, *args, depths,
+        PARAMS.thick, PARAMS.rho, PARAMS.eta, PARAMS.delta, **kw,
+    ))
+    got = np.asarray(KP.pallas_integrate(
+        vol, *args, jnp.asarray(depths),
+        PARAMS.thick, PARAMS.rho, PARAMS.eta, PARAMS.delta, **kw,
+    ))
+    np.testing.assert_array_equal(got, ref)
