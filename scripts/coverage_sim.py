@@ -79,6 +79,12 @@ def main():
     ]
     tot_valid = 0
     miss = {(v, k): 0 for v in variants for k in ks}
+    # Asymmetric per-column-window pass counts (full-row anchors): window 1
+    # (the higher u half) serves only ~20% of pairs (wc1-vs-wc2 sweep), so
+    # fewer passes there trade a small miss increase for 3 fewer pass-units.
+    asym_cfgs = [(6, 6), (6, 4), (6, 3), (6, 2), (8, 4), (7, 5), (8, 3)]
+    amiss = {c: 0 for c in asym_cfgs}
+    win1_share = 0
 
     for perm, idxs in sorted(groups.items()):
         k_ax, s_ax, l_ax = perm
@@ -183,6 +189,15 @@ def main():
                         & in_u
                     )
                     miss[(var, k)] += nv - int(covered.sum())
+            in_win1 = in_u & (ui >= u0 + 128)
+            win1_share += int((valid & in_win1).sum())
+            base_cov = (
+                valid & (vi >= rmin_row) & (vi_loc >= 0) & (vi_loc < wr)
+            )
+            span = vi - rmin_row
+            for k0, k1 in asym_cfgs:
+                cov = base_cov & np.where(in_win1, span < k1, span < k0) & in_u
+                amiss[(k0, k1)] += nv - int(cov.sum())
 
     print(f"sampled {tot_valid/1e6:.1f} M valid voxel-view pairs "
           f"({dims-1}^3 x {n_views} views, sj{sj} wr{wr} wc{n_wc})")
@@ -195,6 +210,13 @@ def main():
         for k in ks:
             row += f"  {100.0 * miss[(var, k)] / tot_valid:5.1f}% "
         print(row)
+    print(f"\nwindow-1 share of valid pairs: "
+          f"{100.0 * win1_share / tot_valid:.1f}%")
+    print("asymmetric (k_win0, k_win1) full-row miss "
+          "(pass-units = k0 + k1):")
+    for k0, k1 in asym_cfgs:
+        print(f"  k{k0}/k{k1} ({k0 + k1:2d} units)  "
+              f"{100.0 * amiss[(k0, k1)] / tot_valid:5.1f}%")
 
 
 if __name__ == "__main__":
