@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "float64"],
                    help="Projection compute dtype (default float32)")
+    p.add_argument("--backend", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="Gather backend: portable XLA or the Pallas TPU "
+                        "kernel (kernels/coloration_pallas.py)")
+    p.add_argument("--compatIntMean", action="store_true",
+                   help="Reference-parity int mean numerator "
+                        "(MeshColoration.cxx:176-178)")
     return p
 
 
@@ -52,6 +59,8 @@ def main(argv: list[str] | None = None) -> int:
         krtd_list=args.krtd,
         z_test=args.zTest,
         dtype=args.dtype,
+        backend=args.backend,
+        compat_int_mean=args.compatIntMean,
     )
     try:
         ColorationPipeline(config, log).run(args.input, args.output)

@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import integrate_pallas as _ip
 from .integrate_pallas import _gather_pixels_multi, _round_half_away
 
-__all__ = ["gather_colors_pallas"]
+__all__ = ["gather_colors_pallas", "stage_color_planes", "StagedColorPlanes"]
 
 
 def _morton_order(points: np.ndarray) -> np.ndarray:
@@ -156,10 +156,49 @@ def _gather_colors_padded(
     )(pts, proj, r, g, b)
 
 
+class StagedColorPlanes:
+    """Device-resident r/g/b planes of one view batch (see
+    :func:`stage_color_planes`). Staging is the expensive part of a gather
+    call (uint8->f32 expansion + host->device upload of V*hp*wp*12 bytes);
+    callers that gather the same views repeatedly (point chunking in
+    ``ops/coloration.colorize_points``, benchmarking) stage once."""
+
+    def __init__(self, r, g, b, h, w):
+        self.r, self.g, self.b = r, g, b
+        self.h, self.w = int(h), int(w)
+
+    @property
+    def nbytes(self) -> int:
+        return 3 * self.r.size * 4
+
+
+def stage_color_planes(
+    colors: np.ndarray,  # (V, h, w, 3) uint8
+    window_rows: int = 32,
+) -> StagedColorPlanes:
+    """Split uint8 RGB into three padded fp32 planes and put them on device.
+
+    ``window_rows`` only sets the MINIMUM padded height (a staged batch can
+    be gathered with any wr <= hp)."""
+    nv, hgt, wid = colors.shape[:3]
+    c = colors.astype(np.float32)
+    r, g, b = c[..., 0], c[..., 1], c[..., 2]
+    ph = max(window_rows - hgt, (-hgt) % 8)
+    pw = (-wid) % 128
+    if ph or pw:
+        pad = ((0, 0), (0, ph), (0, pw))
+        r = np.pad(r, pad, constant_values=-1.0)
+        g = np.pad(g, pad, constant_values=-1.0)
+        b = np.pad(b, pad, constant_values=-1.0)
+    return StagedColorPlanes(
+        jnp.asarray(r), jnp.asarray(g), jnp.asarray(b), hgt, wid
+    )
+
+
 def gather_colors_pallas(
     points: np.ndarray,  # (N, 3) world vertices (mesh order: raster-coherent)
     proj: np.ndarray,  # (V, 3, 4) rows of K4 @ RT, f32
-    colors: np.ndarray,  # (V, h, w, 3) uint8
+    colors,  # (V, h, w, 3) uint8, or a StagedColorPlanes
     z_test: bool = False,
     sj: int = 16,
     window_rows: int = 32,
@@ -173,16 +212,10 @@ def gather_colors_pallas(
     if morton and n:
         order = _morton_order(points)
         points = points[order]
-    nv, hgt, wid = colors.shape[:3]
-    c = colors.astype(np.float32)
-    r, g, b = c[..., 0], c[..., 1], c[..., 2]
-    ph = max(window_rows - hgt, (-hgt) % 8)
-    pw = (-wid) % 128
-    if ph or pw:
-        pad = ((0, 0), (0, ph), (0, pw))
-        r = np.pad(r, pad, constant_values=-1.0)
-        g = np.pad(g, pad, constant_values=-1.0)
-        b = np.pad(b, pad, constant_values=-1.0)
+    if not isinstance(colors, StagedColorPlanes):
+        colors = stage_color_planes(colors, window_rows)
+    nv, hp_s, wp_s = colors.r.shape
+    hgt, wid = colors.h, colors.w
     tile = sj * 128
     pad_n = (-n) % tile
     # Padded vertices project via a poisoned w-row: u stays out of bounds.
@@ -199,11 +232,11 @@ def gather_colors_pallas(
     )
     outs = _gather_colors_padded(
         jnp.asarray(pts_t),
-        jnp.asarray(proj.reshape(nv, 12).astype(np.float32)),
-        jnp.asarray(r),
-        jnp.asarray(g),
-        jnp.asarray(b),
-        h=int(hgt), w=int(wid), sj=int(sj), wr=int(min(window_rows, hgt + ph)),
+        jnp.asarray(np.asarray(proj).reshape(nv, 12).astype(np.float32)),
+        colors.r,
+        colors.g,
+        colors.b,
+        h=int(hgt), w=int(wid), sj=int(sj), wr=int(min(window_rows, hp_s)),
         n_wc=int(n_wc), n_k=int(n_k), z_test=bool(z_test),
     )  # 3 x (nt, V, sj, 128)
     flat = [

@@ -157,6 +157,13 @@ def colorize_points(
     # Pad the view axis of the LAST batch to the batch size (dummy views
     # with always-out-of-bounds projection) to keep one jit shape.
     vc = min(view_chunk, n_views)
+    # Staged color images of a view batch are reused across point chunks
+    # while their total stays under a device-memory budget; above it, each
+    # batch is re-staged per chunk (the streaming regime — device memory
+    # never holds more than one batch). 1.5 GB covers 500 x 512^2 views.
+    staged_budget = 1536 << 20
+    staged_bytes = 0
+    staged_cache: dict = {}
 
     for start in range(0, n, chunk):
         stop = min(start + chunk, n)
@@ -168,31 +175,47 @@ def colorize_points(
         valid = np.empty((n_views, pad_n), bool)
         for vs in range(0, n_views, vc):
             ve = min(vs + vc, n_views)
-            batch = [views[i] for i in range(vs, ve)]
-            proj = np.stack([_view_proj(v) for v in batch]).astype(np.float64)
-            colors = np.stack([_view_colors(v, h, w) for v in batch])
-            pad_v = vc - len(batch)
-            if pad_v:
-                # Dummy views: projection row 2 forces u,v out of bounds.
-                dummy = np.zeros((pad_v, 3, 4), np.float64)
-                dummy[:, 2, 3] = 1.0
-                dummy[:, 0, 3] = dummy[:, 1, 3] = -1e9
-                proj = np.concatenate([proj, dummy])
-                colors = np.concatenate(
-                    [colors, np.zeros((pad_v, h, w, 3), np.uint8)]
-                )
+            cached = staged_cache.get(vs)
+            if cached is None:
+                batch = [views[i] for i in range(vs, ve)]
+                proj = np.stack(
+                    [_view_proj(v) for v in batch]
+                ).astype(np.float64)
+                colors = np.stack([_view_colors(v, h, w) for v in batch])
+                pad_v = vc - len(batch)
+                if pad_v:
+                    # Dummy views: projection row 2 forces u,v out of bounds.
+                    dummy = np.zeros((pad_v, 3, 4), np.float64)
+                    dummy[:, 2, 3] = 1.0
+                    dummy[:, 0, 3] = dummy[:, 1, 3] = -1e9
+                    proj = np.concatenate([proj, dummy])
+                    colors = np.concatenate(
+                        [colors, np.zeros((pad_v, h, w, 3), np.uint8)]
+                    )
+                if backend == "pallas":
+                    from ..kernels.coloration_pallas import stage_color_planes
+
+                    cached = (proj, stage_color_planes(colors))
+                    cached_bytes = cached[1].nbytes
+                else:
+                    cached = (
+                        jnp.asarray(proj.astype(dtype)),
+                        jnp.asarray(colors.reshape(vc, h * w, 3)),
+                    )
+                    cached_bytes = cached[1].size
+                if staged_bytes + cached_bytes <= staged_budget:
+                    staged_cache[vs] = cached
+                    staged_bytes += cached_bytes
             if backend == "pallas":
                 from ..kernels.coloration_pallas import gather_colors_pallas
 
                 rgb, ok = gather_colors_pallas(
-                    np.asarray(block, np.float32), proj, colors, z_test=z_test
+                    np.asarray(block, np.float32), cached[0], cached[1],
+                    z_test=z_test,
                 )
             else:
                 rgb, ok = _gather_chunk(
-                    block_j,
-                    jnp.asarray(proj.astype(dtype)),
-                    jnp.asarray(colors.reshape(vc, h * w, 3)),
-                    h=h, w=w, z_test=z_test,
+                    block_j, cached[0], cached[1], h=h, w=w, z_test=z_test,
                 )
             samples[vs:ve] = np.asarray(rgb)[: ve - vs]
             valid[vs:ve] = np.asarray(ok)[: ve - vs]
@@ -225,6 +248,7 @@ def colorize_mesh(
     z_test: bool = False,
     dtype=np.float32,
     compat_int_mean: bool = False,
+    backend: str = "xla",
 ) -> PolyData:
     """Attach MeanColoration / MedianColoration / NbProjectedDepthMap arrays
     (names per ``MeshColoration.cxx:113-133``) to a copy of `mesh`."""
@@ -233,6 +257,7 @@ def colorize_mesh(
     mean_u8, med_u8, counts = colorize_points(
         mesh.points, views, chunk=chunk, view_chunk=view_chunk,
         z_test=z_test, dtype=dtype, compat_int_mean=compat_int_mean,
+        backend=backend,
     )
     out.point_data["MeanColoration"] = mean_u8
     out.point_data["MedianColoration"] = med_u8

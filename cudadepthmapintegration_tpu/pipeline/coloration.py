@@ -23,6 +23,10 @@ class ColorationConfig:
     krtd_list: str  # file listing camera paths
     z_test: bool = False  # opt-in visibility fix (reference has none)
     dtype: str = "float32"
+    # 'xla' (portable gather) or 'pallas' (TPU packed-RGB rowsel kernel).
+    backend: str = "xla"
+    # Reference numerator parity (MeshColoration.cxx:176-178).
+    compat_int_mean: bool = False
 
 
 class ColorationPipeline:
@@ -44,6 +48,8 @@ class ColorationPipeline:
                 views,
                 z_test=self.config.z_test,
                 dtype=self.config.dtype,
+                backend=self.config.backend,
+                compat_int_mean=self.config.compat_int_mean,
             )
 
     def run(self, input_path: str, output_path: str) -> PolyData:

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from cudadepthmapintegration_tpu.kernels.coloration_pallas import (
     gather_colors_pallas,
+    stage_color_planes,
 )
 from cudadepthmapintegration_tpu.ops.coloration import (
     _gather_chunk,
@@ -101,10 +102,46 @@ def main():
     rand_pts = ((rng.random((1 << 18, 3)) - 0.5) * 2.4).astype(np.float32)
     print(f"mesh verts: {len(mesh_pts)}, views: {nv} x {w}x{h}", flush=True)
 
-    def time_pallas(pts, **kw):
-        s, _ = gather_colors_pallas(pts, proj, colors, **kw)
+    # Stage color planes ONCE (uint8->fp32 expansion + upload of ~190 MB:
+    # ~30 s on this rig's 6 MB/s tunnel, amortized over every point chunk
+    # by colorize_points' staged cache in production) and time the
+    # device-resident kernel with an on-device checksum — the steady
+    # state, like every other bench on this rig (docs/KERNEL.md "A note
+    # on this dev rig"); the sample download is likewise rig-bound.
+    from cudadepthmapintegration_tpu.kernels.coloration_pallas import (
+        _gather_colors_padded,
+        _morton_order,
+    )
+
+    staged = stage_color_planes(colors)
+    proj12 = jnp.asarray(proj.reshape(nv, 12).astype(np.float32))
+
+    def time_pallas(pts, sj, window_rows, n_wc, n_k):
+        tile = sj * 128
+        p = pts[_morton_order(pts)]
+        pad_n = (-len(p)) % tile
+        pts_pad = np.zeros((len(p) + pad_n, 3), np.float32)
+        pts_pad[: len(p)] = p
+        nt = len(pts_pad) // tile
+        pts_t = jnp.asarray(
+            pts_pad.reshape(nt, sj, 128, 3)
+            .transpose(0, 3, 1, 2)
+            .reshape(nt, 3 * sj, 128)
+        )
+        kw = dict(
+            h=h, w=w, sj=sj, wr=min(window_rows, staged.r.shape[1]),
+            n_wc=n_wc, n_k=n_k, z_test=False,
+        )
+
+        def run():
+            outs = _gather_colors_padded(
+                pts_t, proj12, staged.r, staged.g, staged.b, **kw
+            )
+            return float(sum(o.sum() for o in outs))
+
+        s = run()
         t0 = time.perf_counter()
-        s, _ = gather_colors_pallas(pts, proj, colors, **kw)
+        s = run()
         return time.perf_counter() - t0, s
 
     def time_xla(pts):
