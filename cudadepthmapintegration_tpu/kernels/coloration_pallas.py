@@ -76,64 +76,80 @@ def _morton_order(points: np.ndarray) -> np.ndarray:
 
 
 def _colorize_kernel(
-    pts_ref,  # (1, 3*sj, 128) vertex coords: rows [0:sj)=x, [sj:2sj)=y, ...
+    pts_ref,  # (1, tb*3*sj, 128) vertex coords: per tile, sj rows x/y/z
     proj_ref,  # (V, 12) SMEM: rows of K4@RT (3, 4) flattened
     r_ref,  # (1, hp, wp) r channel plane for this view (uint8-valued f32)
     g_ref,  # (1, hp, wp) g plane
     b_ref,  # (1, hp, wp) b plane
-    out_r_ref,  # (1, 1, sj, 128) r samples for (tile, view)
-    out_g_ref,  # (1, 1, sj, 128) g samples
-    out_b_ref,  # (1, 1, sj, 128) b samples
-    *, h, w, hp, wp, sj, wr, n_wc, n_k, z_test,
+    out_r_ref,  # (1, 1, tb*sj, 128) r samples for (tile-block, view)
+    out_g_ref,  # (1, 1, tb*sj, 128) g samples
+    out_b_ref,  # (1, 1, tb*sj, 128) b samples
+    *, h, w, hp, wp, sj, tb, wr, n_wc, n_k, z_test,
 ):
     view = pl.program_id(1)
-    xs = pts_ref[0, 0:sj, :]
-    ys = pts_ref[0, sj : 2 * sj, :]
-    zs = pts_ref[0, 2 * sj : 3 * sj, :]
+    planes = (r_ref.at[0], g_ref.at[0], b_ref.at[0])
+    out_refs = (out_r_ref, out_g_ref, out_b_ref)
 
-    def hom(r):
-        return (
-            proj_ref[view, 4 * r + 0] * xs
-            + proj_ref[view, 4 * r + 1] * ys
-            + proj_ref[view, 4 * r + 2] * zs
-            + proj_ref[view, 4 * r + 3]
+    # tb tiles share one grid step: the ~3*hp*wp*4-byte plane DMA and the
+    # per-step fixed cost amortize over tb subtiles (measured 12 us/step at
+    # tb=1 vs ~1.7 us/subtile in the integrate kernel, whose grid steps
+    # carry 32 subtiles). All row offsets are multiples of sj (>= 8).
+    def tile_body(t, _):
+        base = t * 3 * sj
+        xs = pts_ref[0, pl.ds(base, sj), :]
+        ys = pts_ref[0, pl.ds(base + sj, sj), :]
+        zs = pts_ref[0, pl.ds(base + 2 * sj, sj), :]
+
+        def hom(r):
+            return (
+                proj_ref[view, 4 * r + 0] * xs
+                + proj_ref[view, 4 * r + 1] * ys
+                + proj_ref[view, 4 * r + 2] * zs
+                + proj_ref[view, 4 * r + 3]
+            )
+
+        h0, h1, h2 = hom(0), hom(1), hom(2)
+        u = _round_half_away(h0 / h2)
+        v = _round_half_away(h1 / h2)
+        # Reference quirk: NO hom.z < 0 rejection
+        # (ReconstructionData.cxx:169-182).
+        valid = (u >= 0) & (v >= 0) & (u < w) & (v < h)
+        if z_test:
+            valid &= h2 > 0
+        ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
+        vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
+        samples = _gather_pixels_multi(
+            planes, ui, vi, valid,
+            hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
+            precisions=(jax.lax.Precision.DEFAULT,) * 3,
         )
+        for out_ref, smp in zip(out_refs, samples):
+            out_ref[0, 0, pl.ds(t * sj, sj), :] = jnp.where(
+                valid, smp, -1.0
+            )
+        return 0
 
-    h0, h1, h2 = hom(0), hom(1), hom(2)
-    u = _round_half_away(h0 / h2)
-    v = _round_half_away(h1 / h2)
-    # Reference quirk: NO hom.z < 0 rejection (ReconstructionData.cxx:169-182)
-    valid = (u >= 0) & (v >= 0) & (u < w) & (v < h)
-    if z_test:
-        valid &= h2 > 0
-    ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
-    vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
-    samples = _gather_pixels_multi(
-        (r_ref.at[0], g_ref.at[0], b_ref.at[0]), ui, vi, valid,
-        hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
-        precisions=(jax.lax.Precision.DEFAULT,) * 3,
-    )
-    for out_ref, smp in zip((out_r_ref, out_g_ref, out_b_ref), samples):
-        out_ref[0, 0] = jnp.where(valid, smp, -1.0)
+    jax.lax.fori_loop(0, tb, tile_body, 0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "w", "sj", "wr", "n_wc", "n_k", "z_test"),
+    static_argnames=("h", "w", "sj", "tb", "wr", "n_wc", "n_k", "z_test"),
 )
 def _gather_colors_padded(
-    pts, proj, r, g, b, *, h, w, sj, wr, n_wc, n_k, z_test
+    pts, proj, r, g, b, *, h, w, sj, tb, wr, n_wc, n_k, z_test
 ):
-    nt = pts.shape[0]
+    ntb = pts.shape[0]  # number of tile-BLOCKS (tb tiles each)
     nv, hp, wp = r.shape
     kernel = functools.partial(
         _colorize_kernel,
-        h=h, w=w, hp=hp, wp=wp, sj=sj, wr=wr, n_wc=n_wc, n_k=n_k,
+        h=h, w=w, hp=hp, wp=wp, sj=sj, tb=tb, wr=wr, n_wc=n_wc, n_k=n_k,
         z_test=z_test,
     )
-    samp = jax.ShapeDtypeStruct((nt, nv, sj, 128), jnp.float32)
+    samp = jax.ShapeDtypeStruct((ntb, nv, tb * sj, 128), jnp.float32)
     samp_spec = pl.BlockSpec(
-        (1, 1, sj, 128), lambda t, v: (t, v, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, tb * sj, 128), lambda t, v: (t, v, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     plane_spec = pl.BlockSpec(
         (1, hp, wp), lambda t, v: (v, 0, 0), memory_space=pltpu.VMEM
@@ -141,9 +157,9 @@ def _gather_colors_padded(
     return pl.pallas_call(
         kernel,
         out_shape=(samp, samp, samp),
-        grid=(nt, nv),
+        grid=(ntb, nv),
         in_specs=[
-            pl.BlockSpec((1, 3 * sj, 128), lambda t, v: (t, 0, 0),
+            pl.BlockSpec((1, tb * 3 * sj, 128), lambda t, v: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nv, 12), lambda t, v: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -205,6 +221,7 @@ def gather_colors_pallas(
     n_wc: int = 2,
     n_k: int = 4,
     morton: bool = True,
+    tile_block: int = 8,
 ):
     """Returns (samples (V, N, 3) uint8, valid (V, N) bool)."""
     n = points.shape[0]
@@ -217,18 +234,23 @@ def gather_colors_pallas(
     nv, hp_s, wp_s = colors.r.shape
     hgt, wid = colors.h, colors.w
     tile = sj * 128
-    pad_n = (-n) % tile
+    # Round the tile count up to a multiple of tile_block (tb tiles share
+    # one grid step, amortizing the per-step plane DMA + fixed cost that
+    # dominates at tb=1 — measured 12 us/step vs ~4 us of gather work).
+    tb = max(1, int(tile_block))
+    pad_n = (-n) % (tile * tb)
     # Padded vertices project via a poisoned w-row: u stays out of bounds.
     pts = np.zeros((n + pad_n, 3), np.float32)
     pts[:n] = points
     nt = (n + pad_n) // tile
-    # Layout (nt, 3*sj, 128): per tile, sj rows of x, then y, then z.
+    ntb = nt // tb
+    # Layout (ntb, tb*3*sj, 128): per tile, sj rows of x, then y, then z.
     # Padded vertices sit at the origin; they may gather real pixels but are
     # sliced away below — only the last tile's footprint bbox sees them.
     pts_t = (
         pts.reshape(nt, sj, 128, 3)
         .transpose(0, 3, 1, 2)
-        .reshape(nt, 3 * sj, 128)
+        .reshape(ntb, tb * 3 * sj, 128)
     )
     outs = _gather_colors_padded(
         jnp.asarray(pts_t),
@@ -236,9 +258,10 @@ def gather_colors_pallas(
         colors.r,
         colors.g,
         colors.b,
-        h=int(hgt), w=int(wid), sj=int(sj), wr=int(min(window_rows, hp_s)),
+        h=int(hgt), w=int(wid), sj=int(sj), tb=tb,
+        wr=int(min(window_rows, hp_s)),
         n_wc=int(n_wc), n_k=int(n_k), z_test=bool(z_test),
-    )  # 3 x (nt, V, sj, 128)
+    )  # 3 x (ntb, V, tb*sj, 128)
     flat = [
         np.asarray(o).transpose(1, 0, 2, 3).reshape(nv, nt * tile)[:, :n]
         for o in outs

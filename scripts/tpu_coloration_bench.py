@@ -116,20 +116,21 @@ def main():
     staged = stage_color_planes(colors)
     proj12 = jnp.asarray(proj.reshape(nv, 12).astype(np.float32))
 
-    def time_pallas(pts, sj, window_rows, n_wc, n_k):
+    def time_pallas(pts, sj, window_rows, n_wc, n_k, tile_block=1):
         tile = sj * 128
         p = pts[_morton_order(pts)]
-        pad_n = (-len(p)) % tile
+        pad_n = (-len(p)) % (tile * tile_block)
         pts_pad = np.zeros((len(p) + pad_n, 3), np.float32)
         pts_pad[: len(p)] = p
         nt = len(pts_pad) // tile
         pts_t = jnp.asarray(
             pts_pad.reshape(nt, sj, 128, 3)
             .transpose(0, 3, 1, 2)
-            .reshape(nt, 3 * sj, 128)
+            .reshape(nt // tile_block, tile_block * 3 * sj, 128)
         )
         kw = dict(
-            h=h, w=w, sj=sj, wr=min(window_rows, staged.r.shape[1]),
+            h=h, w=w, sj=sj, tb=tile_block,
+            wr=min(window_rows, staged.r.shape[1]),
             n_wc=n_wc, n_k=n_k, z_test=False,
         )
 
@@ -162,16 +163,26 @@ def main():
     print(f"xla gather (mesh):  {gx:.3f} G samples/s ({tx*1e3:.1f} ms)",
           flush=True)
 
+    # Config rationale (round-2.6): a 128-vertex Morton run is a ~0.08-unit
+    # surface cell -> ~8 px of projected v-span per LANE ROW, so k~8 passes
+    # cover what k2-4 leaves to the walk; and a whole (sj,128) tile spans
+    # only ~46-65 px of u, so ONE column window (n_wc=1) usually suffices.
+    # Round-2.6 finding: throughput at tile_block=1 is flat (~0.3 G) across
+    # sj/wr/k/wc — the cost is the per-grid-step plane DMA + fixed cost,
+    # paid per SINGLE tile. tile_block=tb runs tb tiles per step.
     best = (None, 1e9)
     for kw in (
-        dict(sj=16, window_rows=32, n_wc=2, n_k=4),
-        dict(sj=16, window_rows=64, n_wc=2, n_k=2),
         dict(sj=32, window_rows=64, n_wc=2, n_k=2),
-        dict(sj=8, window_rows=32, n_wc=2, n_k=4),
+        dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=4),
+        dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=8),
+        dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=16),
+        dict(sj=32, window_rows=64, n_wc=2, n_k=8, tile_block=8),
+        dict(sj=32, window_rows=64, n_wc=1, n_k=8, tile_block=8),
     ):
         tp, _ = time_pallas(mesh_pts, **kw)
         gp = len(mesh_pts) * nv / tp / 1e9
-        tag = f"sj{kw['sj']} wr{kw['window_rows']} k{kw['n_k']}"
+        tag = (f"sj{kw['sj']} wr{kw['window_rows']} k{kw['n_k']} "
+               f"wc{kw['n_wc']} tb{kw.get('tile_block', 1)}")
         print(f"pallas gather (mesh, {tag}): {gp:.2f} G samples/s "
               f"({tp*1e3:.1f} ms, {tx/tp:.1f}x xla)", flush=True)
         if tp < best[1]:
