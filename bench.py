@@ -121,9 +121,26 @@ def bench_sparse_fps(n_frames=48, width=256, height=192,
     t0 = time.perf_counter()
     for v in views:
         sparse.integrate_frame(v)
-    float(sparse.pool.sum())
+    checksum = float(sparse.pool.sum())
     dt = time.perf_counter() - t0
-    return n_frames / dt
+    return n_frames / dt, checksum
+
+
+def coloration_parity():
+    """Per-round hardware gate for the SECOND Mosaic kernel (coloration):
+    pallas and xla backends must agree bit-for-bit on mean/median/count
+    (kernels/coloration_pallas.py vs the XLA gather path)."""
+    from cudadepthmapintegration_tpu.ops.coloration import colorize_points
+    from cudadepthmapintegration_tpu.testing import sphere_scene
+
+    rng = np.random.default_rng(3)
+    views = sphere_scene(n_views=8, width=256, height=192, focal=150.0)
+    for v in views:
+        v.color[:] = rng.integers(0, 256, v.color.shape, dtype=np.uint8)
+    pts = ((rng.random((4000, 3)) - 0.5) * 2.4).astype(np.float64)
+    a = colorize_points(pts, views, backend="pallas")
+    b = colorize_points(pts, views, backend="xla", dtype=np.float32)
+    return all(np.array_equal(x, y) for x, y in zip(a, b))
 
 
 def main():
@@ -168,9 +185,20 @@ def main():
         tpu_validate.run_parity(verbose=True, **KERNEL_PLAN_KW, **KERNEL_RUN_KW)
 
     # --- sparse incremental fps (both gather backends) -----------------
-    sparse_fps_pallas = bench_sparse_fps(gather_backend="pallas")
-    sparse_fps_xla = bench_sparse_fps(gather_backend="xla")
+    sparse_fps_pallas, sum_sp = bench_sparse_fps(gather_backend="pallas")
+    sparse_fps_xla, sum_sx = bench_sparse_fps(gather_backend="xla")
     sparse_fps = max(sparse_fps_pallas, sparse_fps_xla)
+    sparse_match = bool(sum_sp == sum_sx)
+    if not sparse_match:
+        print(
+            f"WARNING: sparse gather backends diverge: {sum_sp} vs {sum_sx}",
+            file=sys.stderr,
+        )
+
+    # --- coloration kernel parity gate ----------------------------------
+    color_ok = coloration_parity()
+    if not color_ok:
+        print("COLORATION PARITY GATE FAILED", file=sys.stderr)
 
     n_updates = grid512.num_cells * len(views512)
     value = n_updates / t512
@@ -184,6 +212,8 @@ def main():
                 "configs_gups": sizes,
                 "parity_flips": parity_flips,
                 "parity_ok": parity_ok,
+                "coloration_parity_ok": color_ok,
+                "sparse_backends_match": sparse_match,
                 "sparse_fusion_fps": round(sparse_fps, 1),
                 "sparse_fps_by_backend": {
                     "pallas": round(sparse_fps_pallas, 1),
@@ -193,7 +223,7 @@ def main():
             }
         )
     )
-    return 0 if parity_ok else 1
+    return 0 if (parity_ok and color_ok) else 1
 
 
 if __name__ == "__main__":

@@ -84,7 +84,7 @@ def _colorize_kernel(
     out_r_ref,  # (1, 1, tb*sj, 128) r samples for (tile-block, view)
     out_g_ref,  # (1, 1, tb*sj, 128) g samples
     out_b_ref,  # (1, 1, tb*sj, 128) b samples
-    *, h, w, hp, wp, sj, tb, wr, n_wc, n_k, z_test,
+    *, h, w, hp, wp, sj, tb, wr, n_wc, n_k, z_test, probe=0,
 ):
     view = pl.program_id(1)
     planes = (r_ref.at[0], g_ref.at[0], b_ref.at[0])
@@ -95,10 +95,24 @@ def _colorize_kernel(
     # tb=1 vs ~1.7 us/subtile in the integrate kernel, whose grid steps
     # carry 32 subtiles). All row offsets are multiples of sj (>= 8).
     def tile_body(t, _):
+        if probe >= 4:
+            # probe=4: static addressing only (loads/stores slot 0,
+            # constant samples) — isolates the dynamic-ds + arithmetic
+            # cost; probe=5: loop body reduced to one static store.
+            if probe == 4:
+                xs = pts_ref[0, 0:sj, :]
+                for out_ref in out_refs:
+                    out_ref[0, 0, 0:sj, :] = xs
+            return 0
         base = t * 3 * sj
         xs = pts_ref[0, pl.ds(base, sj), :]
         ys = pts_ref[0, pl.ds(base + sj, sj), :]
         zs = pts_ref[0, pl.ds(base + 2 * sj, sj), :]
+        if probe == 3:
+            # probe=3: dynamic loads/stores, no projection/gather math.
+            for out_ref, smp in zip(out_refs, (xs, ys, zs)):
+                out_ref[0, 0, pl.ds(t * sj, sj), :] = smp
+            return 0
 
         def hom(r):
             return (
@@ -118,11 +132,24 @@ def _colorize_kernel(
             valid &= h2 > 0
         ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
         vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
-        samples = _gather_pixels_multi(
-            planes, ui, vi, valid,
-            hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
-            precisions=(jax.lax.Precision.DEFAULT,) * 3,
-        )
+        # probe: TIMING-ONLY ablations (wrong values, cost attribution —
+        # mirrors scripts/tpu_ablate_kernel.py for the integrate kernel).
+        # 1 = skip the remainder machinery+walks; 2 = skip gathers too.
+        if probe == 2:
+            samples = (h0, h1, h2)
+        elif probe == 1:
+            samples, _cov = _gather_pixels_multi(
+                planes, ui, vi, valid,
+                hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
+                precisions=(jax.lax.Precision.DEFAULT,) * 3,
+                fallback=False,
+            )
+        else:
+            samples = _gather_pixels_multi(
+                planes, ui, vi, valid,
+                hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
+                precisions=(jax.lax.Precision.DEFAULT,) * 3,
+            )
         for out_ref, smp in zip(out_refs, samples):
             out_ref[0, 0, pl.ds(t * sj, sj), :] = jnp.where(
                 valid, smp, -1.0
@@ -134,17 +161,19 @@ def _colorize_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "w", "sj", "tb", "wr", "n_wc", "n_k", "z_test"),
+    static_argnames=(
+        "h", "w", "sj", "tb", "wr", "n_wc", "n_k", "z_test", "probe"
+    ),
 )
 def _gather_colors_padded(
-    pts, proj, r, g, b, *, h, w, sj, tb, wr, n_wc, n_k, z_test
+    pts, proj, r, g, b, *, h, w, sj, tb, wr, n_wc, n_k, z_test, probe=0
 ):
     ntb = pts.shape[0]  # number of tile-BLOCKS (tb tiles each)
     nv, hp, wp = r.shape
     kernel = functools.partial(
         _colorize_kernel,
         h=h, w=w, hp=hp, wp=wp, sj=sj, tb=tb, wr=wr, n_wc=n_wc, n_k=n_k,
-        z_test=z_test,
+        z_test=z_test, probe=probe,
     )
     samp = jax.ShapeDtypeStruct((ntb, nv, tb * sj, 128), jnp.float32)
     samp_spec = pl.BlockSpec(

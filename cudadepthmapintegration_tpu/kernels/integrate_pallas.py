@@ -378,6 +378,7 @@ def _integrate_kernel_v2(
     geometry with the remainder cost paid only on actual misses.
     """
     vb = depth_ref.shape[0]
+    kzn = out_ref.shape[0]  # z-slices per volume block (kz)
 
     @pl.when(pl.program_id(2) == 0)
     def _():
@@ -396,7 +397,12 @@ def _integrate_kernel_v2(
 
     view0 = pl.program_id(2) * vb
 
-    def jt_body(jt, _):
+    # kz > 1 amortizes the per-grid-step depth-block DMA over kz z-slices
+    # (total depth HBM traffic / kz; the volume block still accumulates all
+    # views in VMEM, so volume traffic is unchanged). Per-voxel view
+    # accumulation ORDER is unchanged — results are bit-identical for any
+    # kz, unlike vb (cost model: docs/KERNEL.md round-2.6).
+    def kz_jt_body(kk, jt):
         for it in range(cx // 128):
             acc = jnp.zeros((sj, 128), jnp.float32)
             for vv in range(vb):
@@ -408,10 +414,10 @@ def _integrate_kernel_v2(
                 else:
                     depth = depth_ref.at[vv]  # (hp, wp)
                 tys = ty_ref[vv, pl.ds(jt * sj, sj), :]  # (sj, 4)
-                zc0 = tz_ref[0, view, 0] + tc_ref[view, 0]
-                zc1 = tz_ref[0, view, 1] + tc_ref[view, 1]
-                zc2 = tz_ref[0, view, 2] + tc_ref[view, 2]
-                zc3 = tz_ref[0, view, 3] + tc_ref[view, 3]
+                zc0 = tz_ref[kk, view, 0] + tc_ref[view, 0]
+                zc1 = tz_ref[kk, view, 1] + tc_ref[view, 1]
+                zc2 = tz_ref[kk, view, 2] + tc_ref[view, 2]
+                zc3 = tz_ref[kk, view, 3] + tc_ref[view, 3]
                 txs = tx[:, it * 128 : (it + 1) * 128]  # (4, 128)
                 h0 = tys[:, 0:1] + (txs[0][None, :] + zc0)
                 h1 = tys[:, 1:2] + (txs[1][None, :] + zc1)
@@ -450,11 +456,18 @@ def _integrate_kernel_v2(
                     a > delta, far, jnp.where(a > thick, shell, ramp)
                 )
                 acc = acc + jnp.where(valid, val, 0.0)
-            sl = (0, pl.ds(jt * sj, sj), pl.ds(it * 128, 128))
-            out_ref[sl] += acc
+            sl = (pl.ds(kk, 1), pl.ds(jt * sj, sj), pl.ds(it * 128, 128))
+            out_ref[sl] += acc[None]
+
+    def kz_body(kk, _):
+        def jt_body(jt, _):
+            kz_jt_body(kk, jt)
+            return 0
+
+        jax.lax.fori_loop(0, cy // sj, jt_body, 0)
         return 0
 
-    jax.lax.fori_loop(0, cy // sj, jt_body, 0)
+    jax.lax.fori_loop(0, kzn, kz_body, 0)
 
 
 def _integrate_kernel(
@@ -607,7 +620,7 @@ def split_depth_planes(depths):
 
 def _pallas_integrate_impl(
     volume, tx, ty, tz, tc, depths, *, h, w, sj, n_wr, n_wc,
-    thick, rho, eta, delta, mode="windows", wr=32, n_k=2, vb=1,
+    thick, rho, eta, delta, mode="windows", wr=32, n_k=2, vb=1, kz=1,
     anchors="exact",
 ):
     cz, cy, cx = volume.shape
@@ -642,6 +655,15 @@ def _pallas_integrate_impl(
     while cy % cy_b:
         cy_b -= sj  # cy is a multiple of sj; find a divisor multiple of sj
     n_jtb = cy // cy_b
+    # kz z-slices per volume block (amortizes the depth-block DMA; results
+    # bit-identical at any kz). Clamp to a divisor of cz and to ~4 MiB of
+    # block bytes so the (kz, cy_b, cx) block + the double-buffered depth
+    # block stay inside scoped VMEM.
+    kz = max(1, int(kz))
+    if mode == "windows":
+        kz = 1
+    while kz > 1 and (cz % kz or kz * cy_b * cx * 4 > (4 << 20)):
+        kz -= 1
     if mode in ("rowsel", "rowsel3", "rowselm", "rowsel3m"):
         kernel = functools.partial(
             _integrate_kernel_v2,
@@ -658,7 +680,7 @@ def _pallas_integrate_impl(
         )
     vol_shape = jax.ShapeDtypeStruct((cz, cy, cx), jnp.float32)
     vol_spec = pl.BlockSpec(
-        (1, cy_b, cx), lambda k, jb, v: (k, jb, 0), memory_space=pltpu.VMEM
+        (kz, cy_b, cx), lambda k, jb, v: (k, jb, 0), memory_space=pltpu.VMEM
     )
     if track_miss:
         out_shape = (vol_shape, jax.ShapeDtypeStruct((sj, 128), jnp.int32))
@@ -674,11 +696,11 @@ def _pallas_integrate_impl(
     res = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        grid=(cz, n_jtb, nviews // vb),
+        grid=(cz // kz, n_jtb, nviews // vb),
         in_specs=[
             pl.BlockSpec((vb, 4, cx), lambda k, jb, v: (v, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((vb, cy_b, 4), lambda k, jb, v: (v, jb, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nviews, 4), lambda k, jb, v: (k, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((kz, nviews, 4), lambda k, jb, v: (k, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((nviews, 4), lambda k, jb, v: (0, 0), memory_space=pltpu.SMEM),
             (
                 pl.BlockSpec(
@@ -691,7 +713,7 @@ def _pallas_integrate_impl(
                     memory_space=pltpu.VMEM,
                 )
             ),
-            pl.BlockSpec((1, cy_b, cx), lambda k, jb, v: (k, jb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kz, cy_b, cx), lambda k, jb, v: (k, jb, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         input_output_aliases={5: 0},
@@ -716,7 +738,7 @@ def _pallas_integrate_impl(
 _pallas_integrate_padded = functools.partial(
     jax.jit,
     static_argnames=("h", "w", "sj", "n_wr", "n_wc", "thick", "rho", "eta",
-                     "delta", "mode", "wr", "n_k", "vb", "anchors"),
+                     "delta", "mode", "wr", "n_k", "vb", "kz", "anchors"),
     donate_argnames=("volume",),
 )(_pallas_integrate_impl)
 
@@ -725,7 +747,7 @@ _pallas_integrate_padded = functools.partial(
 _pallas_integrate_padded_keep = functools.partial(
     jax.jit,
     static_argnames=("h", "w", "sj", "n_wr", "n_wc", "thick", "rho", "eta",
-                     "delta", "mode", "wr", "n_k", "vb", "anchors"),
+                     "delta", "mode", "wr", "n_k", "vb", "kz", "anchors"),
 )(_pallas_integrate_impl)
 
 
@@ -760,6 +782,7 @@ def pallas_integrate(
     window_rows: int = 32,
     rowsel_passes: int = 2,
     view_block: int = 1,
+    z_block: int = 1,
     anchors: str = "exact",
 ):
     """Fuse all views into `volume` (returns the updated volume).
@@ -782,6 +805,12 @@ def pallas_integrate(
     mode='windows': the round-1 windowed gather kernel with a static
     `windows` grid. All modes are exact for ANY geometry, so the tunables
     affect speed, never values.
+
+    z_block (kz): z-slices per volume block — the depth-block HBM->VMEM
+    DMA (one per grid step) amortizes over kz slices, dividing total depth
+    traffic by kz; per-voxel view accumulation order is unchanged, so
+    results are BIT-IDENTICAL at any kz (view_block, by contrast, reorders
+    the fp32 accumulation). Clamped to a divisor of cz and a ~4 MiB block.
     """
     h, w = int(depths.shape[1]), int(depths.shape[2])
     rowsel_family = ("rowsel", "rowsel3", "rowselm", "rowsel3m")
@@ -815,7 +844,7 @@ def pallas_integrate(
         thick=float(thick), rho=float(rho),
         eta=float(eta), delta=float(delta),
         wr=int(window_rows), n_k=int(rowsel_passes),
-        vb=int(view_block), anchors=str(anchors),
+        vb=int(view_block), kz=int(z_block), anchors=str(anchors),
     )
     if mode in ("rowselm", "rowsel3m"):
         out, miss = _pallas_integrate_padded_keep(
@@ -983,7 +1012,7 @@ class OrientedFusionPlan:
             )
 
     def _build_runner(self, windows, mode, window_rows, rowsel_passes,
-                      view_block, anchors):
+                      view_block, z_block, anchors):
         """One jitted chain over ALL groups: transpose -> pad -> kernel ->
         unpad -> inverse transpose per group, fused into a single dispatch
         (the round-1 plan issued ~4 eager dispatches per group per batch —
@@ -1044,7 +1073,7 @@ class OrientedFusionPlan:
                     thick=float(p.thick), rho=float(p.rho),
                     eta=float(p.eta), delta=float(p.delta),
                     mode=mode, wr=min(window_rows, hp), n_k=rowsel_passes,
-                    vb=view_block, anchors=anchors,
+                    vb=view_block, kz=z_block, anchors=anchors,
                 )
                 if track_miss:
                     out, miss = out
@@ -1065,6 +1094,7 @@ class OrientedFusionPlan:
         window_rows: int = 32,
         rowsel_passes: int = 2,
         view_block: int = 1,
+        z_block: int = 1,
         anchors: str = "exact",
     ):
         """Fuse the planned views into (cz, cy, cx) `volume_zyx`.
@@ -1083,7 +1113,7 @@ class OrientedFusionPlan:
             return runner
 
         key = (tuple(windows), mode, int(window_rows), int(rowsel_passes),
-               int(view_block), str(anchors))
+               int(view_block), int(z_block), str(anchors))
         vol = jnp.asarray(volume_zyx, jnp.float32)
         if mode in ("rowselm", "rowsel3m"):
             out, miss = get_runner(key)(vol)
@@ -1108,6 +1138,7 @@ def integrate_views_oriented(
     window_rows: int = 32,
     rowsel_passes: int = 2,
     view_block: int = 1,
+    z_block: int = 1,
     anchors: str = "exact",
 ):
     """High-level Pallas fusion: orientation-grouped, per-subtile adaptive.
@@ -1124,5 +1155,5 @@ def integrate_views_oriented(
     return plan.run(
         volume_zyx, windows=windows, mode=mode,
         window_rows=window_rows, rowsel_passes=rowsel_passes,
-        view_block=view_block, anchors=anchors,
+        view_block=view_block, z_block=z_block, anchors=anchors,
     )

@@ -116,7 +116,7 @@ def main():
     staged = stage_color_planes(colors)
     proj12 = jnp.asarray(proj.reshape(nv, 12).astype(np.float32))
 
-    def time_pallas(pts, sj, window_rows, n_wc, n_k, tile_block=1):
+    def time_pallas(pts, sj, window_rows, n_wc, n_k, tile_block=1, probe=0):
         tile = sj * 128
         p = pts[_morton_order(pts)]
         pad_n = (-len(p)) % (tile * tile_block)
@@ -131,7 +131,7 @@ def main():
         kw = dict(
             h=h, w=w, sj=sj, tb=tile_block,
             wr=min(window_rows, staged.r.shape[1]),
-            n_wc=n_wc, n_k=n_k, z_test=False,
+            n_wc=n_wc, n_k=n_k, z_test=False, probe=probe,
         )
 
         def run():
@@ -167,25 +167,27 @@ def main():
     # surface cell -> ~8 px of projected v-span per LANE ROW, so k~8 passes
     # cover what k2-4 leaves to the walk; and a whole (sj,128) tile spans
     # only ~46-65 px of u, so ONE column window (n_wc=1) usually suffices.
-    # Round-2.6 finding: throughput at tile_block=1 is flat (~0.3 G) across
-    # sj/wr/k/wc — the cost is the per-grid-step plane DMA + fixed cost,
-    # paid per SINGLE tile. tile_block=tb runs tb tiles per step.
+    # Round-2.6 finding: throughput is flat (~0.3 G) across sj/wr/k/wc AND
+    # tile_block — neither passes, per-step DMA, nor (per the CPU order
+    # study) the walk-window count explains it. The probe ablations
+    # attribute the per-unit cost directly: probe=1 skips the remainder
+    # machinery+walks (timing-only), probe=2 also skips the select passes.
     best = (None, 1e9)
     for kw in (
-        dict(sj=32, window_rows=64, n_wc=2, n_k=2),
-        dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=4),
         dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=8),
-        dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=16),
-        dict(sj=32, window_rows=64, n_wc=2, n_k=8, tile_block=8),
-        dict(sj=32, window_rows=64, n_wc=1, n_k=8, tile_block=8),
+        dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=8, probe=2),
+        dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=8, probe=3),
+        dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=8, probe=4),
+        dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=8, probe=5),
     ):
         tp, _ = time_pallas(mesh_pts, **kw)
         gp = len(mesh_pts) * nv / tp / 1e9
         tag = (f"sj{kw['sj']} wr{kw['window_rows']} k{kw['n_k']} "
-               f"wc{kw['n_wc']} tb{kw.get('tile_block', 1)}")
+               f"wc{kw['n_wc']} tb{kw.get('tile_block', 1)}"
+               + (f" PROBE{kw['probe']}" if kw.get("probe") else ""))
         print(f"pallas gather (mesh, {tag}): {gp:.2f} G samples/s "
               f"({tp*1e3:.1f} ms, {tx/tp:.1f}x xla)", flush=True)
-        if tp < best[1]:
+        if tp < best[1] and not kw.get("probe"):
             best = (kw, tp)
 
     tpr, _ = time_pallas(rand_pts, **best[0])

@@ -161,6 +161,26 @@ def test_view_block_variants_are_identical():
         np.testing.assert_array_equal(got, ref)
 
 
+def test_z_block_variants_are_identical():
+    """kz=2/4 share one depth-block DMA across kz z-slices; per-voxel view
+    accumulation order is unchanged, so results must be bit-identical to
+    kz=1 in every mode (unlike vb, which reorders the accumulation)."""
+    views = sphere_scene(n_views=4, width=144, height=64, focal=60.0)
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    for mode in ("rowsel", "rowsel3"):
+        ref = np.asarray(
+            KP.integrate_views_oriented(vol, grid, views, PARAMS, mode=mode)
+        )
+        for kz in (2, 4, 5):  # 5 won't divide cz -> clamped down
+            got = np.asarray(
+                KP.integrate_views_oriented(
+                    vol, grid, views, PARAMS, mode=mode, z_block=kz
+                )
+            )
+            np.testing.assert_array_equal(got, ref)
+
+
 def test_split_depth_planes_reconstruct_exactly():
     """The 3-way bf16-valued split must reconstruct arbitrary fp32 depth
     maps bit-exactly (including the -1.0 invalid sentinel)."""
