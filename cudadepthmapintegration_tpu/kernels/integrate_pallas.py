@@ -401,7 +401,9 @@ def _integrate_kernel_v2(
     # (total depth HBM traffic / kz; the volume block still accumulates all
     # views in VMEM, so volume traffic is unchanged). Per-voxel view
     # accumulation ORDER is unchanged — results are bit-identical for any
-    # kz, unlike vb (cost model: docs/KERNEL.md round-2.6).
+    # kz, unlike vb (cost model: docs/KERNEL.md round-2.6). kz == 1 keeps
+    # kk static (the proven round-2.5 lowering — no dynamic leading-dim
+    # slices on the shipped default path).
     def kz_jt_body(kk, jt):
         for it in range(cx // 128):
             acc = jnp.zeros((sj, 128), jnp.float32)
@@ -456,8 +458,16 @@ def _integrate_kernel_v2(
                     a > delta, far, jnp.where(a > thick, shell, ramp)
                 )
                 acc = acc + jnp.where(valid, val, 0.0)
-            sl = (pl.ds(kk, 1), pl.ds(jt * sj, sj), pl.ds(it * 128, 128))
-            out_ref[sl] += acc[None]
+            if kzn == 1:
+                sl = (0, pl.ds(jt * sj, sj), pl.ds(it * 128, 128))
+                out_ref[sl] += acc
+            else:
+                sl = (
+                    pl.ds(kk, 1),
+                    pl.ds(jt * sj, sj),
+                    pl.ds(it * 128, 128),
+                )
+                out_ref[sl] += acc[None]
 
     def kz_body(kk, _):
         def jt_body(jt, _):
@@ -467,7 +477,10 @@ def _integrate_kernel_v2(
         jax.lax.fori_loop(0, cy // sj, jt_body, 0)
         return 0
 
-    jax.lax.fori_loop(0, kzn, kz_body, 0)
+    if kzn == 1:
+        kz_body(0, 0)
+    else:
+        jax.lax.fori_loop(0, kzn, kz_body, 0)
 
 
 def _integrate_kernel(

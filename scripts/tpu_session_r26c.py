@@ -1,0 +1,68 @@
+"""TPU session r2.6c: z_block (kz) sweep at three grid sizes + the
+coloration cost-floor probes. One process (tunnel discipline, CLAUDE.md).
+
+Order: 512^3 kz1 first (validates the restructured kernel's default
+lowering and re-baselines), then kz2/kz4, then 256^3 and 1024^3, then
+the coloration probes — so a late Mosaic hang cannot eat the kz data.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+import jax.numpy as jnp
+
+import bench  # noqa: E402
+
+
+def timed(plan, grid, nv, reps=3, **run_kw):
+    out = plan.run(jnp.zeros(grid.volume_shape, jnp.float32), **run_kw)
+    checksum = float(out.sum())
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        checksum = float(
+            plan.run(jnp.zeros(grid.volume_shape, jnp.float32), **run_kw).sum()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return grid.num_cells * nv / best, best, checksum
+
+
+def kz_sweep():
+    base = dict(mode="rowsel3", window_rows=64, rowsel_passes=6)
+    for label, dims, n_views, kzs in (
+        ("512^3 x 32", 513, 32, (1, 2, 4)),
+        ("256^3 x 32", 257, 32, (1, 4, 8)),
+        ("1024^3 x 16", 1025, 16, (1, 2)),
+    ):
+        grid, views, params = bench.build_workload(dims=dims, n_views=n_views)
+        plan = bench.OrientedFusionPlan(grid, views, params, subtile_rows=64)
+        print(f"-- {label} --", flush=True)
+        ref = None
+        for kz in kzs:
+            ups, dt, checksum = timed(
+                plan, grid, n_views, z_block=kz, **base
+            )
+            if ref is None:
+                ref = checksum
+            tag = "" if checksum == ref else "  CHECKSUM MISMATCH!"
+            print(
+                f"  rowsel3 k6 kz{kz:<2} {ups/1e9:6.2f} G upd/s "
+                f"({dt*1000:7.1f} ms){tag}",
+                flush=True,
+            )
+
+
+def main():
+    print("== [1/2] z_block sweep ==", flush=True)
+    kz_sweep()
+    print("== [2/2] coloration floor probes ==", flush=True)
+    import tpu_coloration_bench
+
+    return tpu_coloration_bench.main()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
