@@ -211,6 +211,7 @@ class ShardedTSDFIntegrator:
         mode: str = "rowsel",
         window_rows: int = 32,
         rowsel_passes: int = 2,
+        z_block: int = 1,
     ):
         """Spatially-sharded fusion with the Pallas kernel per z-shard.
 
@@ -266,6 +267,7 @@ class ShardedTSDFIntegrator:
         kernel_kw = dict(
             windows=windows, subtile_rows=subtile_rows,
             mode=mode, window_rows=window_rows, rowsel_passes=rowsel_passes,
+            z_block=z_block,
         )
 
         # Group views over the two free-axis permutations: k=z fixed;

@@ -26,6 +26,18 @@ def test_sharded_pallas_matches_oracle():
     assert shard_shapes == {(4, 16, 16)}
 
 
+def test_sharded_pallas_z_block_identical():
+    """kz composes with z-slab sharding per shard (bit-identical)."""
+    views = sphere_scene(n_views=4, width=144, height=64, focal=60.0)
+    grid = VoxelGrid(dims=(17, 17, 17), origin=(-1.6,) * 3, spacing=(0.2,) * 3)
+    mesh = make_mesh(n_z=4)
+    a = ShardedTSDFIntegrator(grid, PARAMS, mesh, dtype=np.float32)
+    a.reset().integrate_pallas(views)
+    b = ShardedTSDFIntegrator(grid, PARAMS, mesh, dtype=np.float32)
+    b.reset().integrate_pallas(views, z_block=2)  # 4 z-cells/shard -> kz2
+    np.testing.assert_array_equal(a.result(), b.result())
+
+
 def test_sharded_pallas_incremental():
     views = sphere_scene(n_views=4, width=144, height=64, focal=60.0)
     grid = VoxelGrid(dims=(17, 17, 17), origin=(-1.6,) * 3, spacing=(0.2,) * 3)
