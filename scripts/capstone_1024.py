@@ -12,6 +12,7 @@ Run:  python scripts/capstone_1024.py [n_views] [dims]
 """
 
 import functools
+import os
 import sys
 import time
 
@@ -165,6 +166,7 @@ def main():
                 # on-chip too (split_depth_planes jax path).
                 subtile_rows=64, mode="rowsel3", window_rows=64,
                 rowsel_passes=6,
+                z_block=int(os.environ.get("CAPSTONE_KZ", "1")),
             )
             n_done += n_real_here
         vol = jnp.transpose(volp[:, : g["cyp"], : g["cxp"]], g["inv"])

@@ -173,12 +173,18 @@ def main():
     # attribute the per-unit cost directly: probe=1 skips the remainder
     # machinery+walks (timing-only), probe=2 also skips the select passes.
     best = (None, 1e9)
+    # probe5 x tb discriminates per-STEP overhead (time halves tb8->tb16)
+    # from per-UNIT work (time flat): integrate's measured 54.75 us/step
+    # and coloration's ~58 us/step match suspiciously well.
     for kw in (
         dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=8),
         dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=8, probe=2),
         dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=8, probe=3),
         dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=8, probe=4),
         dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=8, probe=5),
+        dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=16, probe=5),
+        dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=32, probe=5),
+        dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=32, probe=2),
     ):
         tp, _ = time_pallas(mesh_pts, **kw)
         gp = len(mesh_pts) * nv / tp / 1e9
