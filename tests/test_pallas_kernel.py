@@ -262,6 +262,11 @@ def test_rowselm_miss_triggers_exact_redispatch():
         got = np.asarray(plan.run(vol, mode=mode, **kw))
         assert plan.last_miss > 0, mode
         np.testing.assert_array_equal(got, ref)
+    # The miss->exact runner-key surgery must survive extra key fields
+    # (z_block sits between view_block and anchors in the key tuple).
+    got = np.asarray(plan.run(vol, mode="rowsel3m", z_block=2, **kw))
+    assert plan.last_miss > 0
+    np.testing.assert_array_equal(got, ref)
 
 
 def test_pallas_integrate_miss_fallback_single_call():
