@@ -31,25 +31,31 @@ def timed(plan, grid, nv, reps=3, **run_kw):
 
 
 def kz_sweep():
-    base = dict(mode="rowsel3", window_rows=64, rowsel_passes=6)
-    for label, dims, n_views, kzs in (
-        ("512^3 x 32", 513, 32, (1, 2, 4)),
-        ("256^3 x 32", 257, 32, (1, 4, 8)),
-        ("1024^3 x 16", 1025, 16, (1, 2)),
+    # Per-size (k, kz) grid. Coverage-sim prediction (coverage_sim.py):
+    # per-row v-span scales with VOXEL SIZE (tilt px/voxel), so k6 miss is
+    # 31.8% @256^3 / 14.8% @512^3 / 4.3% @1024^3 -> per-size optimum k is
+    # ~10 / 6 / 4. kz divides the per-step depth-block DMA; bit-identical.
+    base = dict(mode="rowsel3", window_rows=64)
+    for label, dims, n_views, variants in (
+        ("512^3 x 32", 513, 32, ((6, 1), (6, 2), (6, 4))),
+        ("256^3 x 32", 257, 32, ((6, 1), (10, 1), (6, 8), (10, 8))),
+        ("1024^3 x 16", 1025, 16, ((6, 1), (4, 1), (4, 2))),
     ):
         grid, views, params = bench.build_workload(dims=dims, n_views=n_views)
         plan = bench.OrientedFusionPlan(grid, views, params, subtile_rows=64)
         print(f"-- {label} --", flush=True)
-        ref = None
-        for kz in kzs:
+        ref = {}
+        for k, kz in variants:
             ups, dt, checksum = timed(
-                plan, grid, n_views, z_block=kz, **base
+                plan, grid, n_views, rowsel_passes=k, z_block=kz, **base
             )
-            if ref is None:
-                ref = checksum
-            tag = "" if checksum == ref else "  CHECKSUM MISMATCH!"
+            # kz variants at fixed k are bit-identical; different k only
+            # changes pass/walk split, also exact -> same bits.
+            tag = "" if checksum == ref.setdefault(0, checksum) else (
+                "  CHECKSUM MISMATCH!"
+            )
             print(
-                f"  rowsel3 k6 kz{kz:<2} {ups/1e9:6.2f} G upd/s "
+                f"  rowsel3 k{k:<2} kz{kz:<2} {ups/1e9:6.2f} G upd/s "
                 f"({dt*1000:7.1f} ms){tag}",
                 flush=True,
             )
