@@ -23,11 +23,13 @@ capstone-scale colorization. Design:
 * **Vertex tiles**: marching-cubes output order is raster-coherent (welded
   vertices sort by global edge key), so consecutive (sj, 128) vertex tiles
   have compact image footprints, exactly like voxel subtiles.
-* **Grid (tiles, V)** with the three channel planes staged per view; the
-  kernel emits per-channel SAMPLES per (vertex, view) (invalid -> -1.0),
-  and mean / exact masked median / count are computed from the sample
-  buffer downstream (``ops/coloration.py``) — no XLA image gathers
-  anywhere.
+* **Grid (tile-blocks, V)** — ``tile_block`` tiles share one grid step
+  (one fori_loop in-kernel), and the three channel planes ride ONE
+  stacked (V, 3, hp, wp) array (one input DMA per step; samples leave as
+  one stacked output). The kernel emits per-channel SAMPLES per
+  (vertex, view) (invalid -> -1.0); mean / exact masked median / count
+  are computed from the sample buffer downstream (``ops/coloration.py``)
+  — no XLA image gathers anywhere.
 
 Parity quirks preserved: projection with NO ``hom.z < 0`` rejection and no
 occlusion test (``ReconstructionData.cxx:169-182``), half-away rounding,
@@ -78,17 +80,12 @@ def _morton_order(points: np.ndarray) -> np.ndarray:
 def _colorize_kernel(
     pts_ref,  # (1, tb*3*sj, 128) vertex coords: per tile, sj rows x/y/z
     proj_ref,  # (V, 12) SMEM: rows of K4@RT (3, 4) flattened
-    r_ref,  # (1, hp, wp) r channel plane for this view (uint8-valued f32)
-    g_ref,  # (1, hp, wp) g plane
-    b_ref,  # (1, hp, wp) b plane
-    out_r_ref,  # (1, 1, tb*sj, 128) r samples for (tile-block, view)
-    out_g_ref,  # (1, 1, tb*sj, 128) g samples
-    out_b_ref,  # (1, 1, tb*sj, 128) b samples
+    planes_ref,  # (1, 3, hp, wp) r/g/b planes (uint8-valued f32), one DMA
+    out_ref,  # (1, 1, 3, tb*sj, 128) r/g/b samples for (tile-block, view)
     *, h, w, hp, wp, sj, tb, wr, n_wc, n_k, z_test, probe=0,
 ):
     view = pl.program_id(1)
-    planes = (r_ref.at[0], g_ref.at[0], b_ref.at[0])
-    out_refs = (out_r_ref, out_g_ref, out_b_ref)
+    planes = tuple(planes_ref.at[0, i] for i in range(3))
 
     # tb tiles share one grid step: the ~3*hp*wp*4-byte plane DMA and the
     # per-step fixed cost amortize over tb subtiles (measured 12 us/step at
@@ -101,8 +98,8 @@ def _colorize_kernel(
             # cost; probe=5: loop body reduced to one static store.
             if probe == 4:
                 xs = pts_ref[0, 0:sj, :]
-                for out_ref in out_refs:
-                    out_ref[0, 0, 0:sj, :] = xs
+                for i in range(3):
+                    out_ref[0, 0, i, 0:sj, :] = xs
             return 0
         base = t * 3 * sj
         xs = pts_ref[0, pl.ds(base, sj), :]
@@ -110,8 +107,8 @@ def _colorize_kernel(
         zs = pts_ref[0, pl.ds(base + 2 * sj, sj), :]
         if probe == 3:
             # probe=3: dynamic loads/stores, no projection/gather math.
-            for out_ref, smp in zip(out_refs, (xs, ys, zs)):
-                out_ref[0, 0, pl.ds(t * sj, sj), :] = smp
+            for i, smp in enumerate((xs, ys, zs)):
+                out_ref[0, 0, i, pl.ds(t * sj, sj), :] = smp
             return 0
 
         def hom(r):
@@ -150,8 +147,8 @@ def _colorize_kernel(
                 hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
                 precisions=(jax.lax.Precision.DEFAULT,) * 3,
             )
-        for out_ref, smp in zip(out_refs, samples):
-            out_ref[0, 0, pl.ds(t * sj, sj), :] = jnp.where(
+        for i, smp in enumerate(samples):
+            out_ref[0, 0, i, pl.ds(t * sj, sj), :] = jnp.where(
                 valid, smp, -1.0
             )
         return 0
@@ -166,26 +163,26 @@ def _colorize_kernel(
     ),
 )
 def _gather_colors_padded(
-    pts, proj, r, g, b, *, h, w, sj, tb, wr, n_wc, n_k, z_test, probe=0
+    pts, proj, planes, *, h, w, sj, tb, wr, n_wc, n_k, z_test, probe=0
 ):
     ntb = pts.shape[0]  # number of tile-BLOCKS (tb tiles each)
-    nv, hp, wp = r.shape
+    nv, _three, hp, wp = planes.shape
     kernel = functools.partial(
         _colorize_kernel,
         h=h, w=w, hp=hp, wp=wp, sj=sj, tb=tb, wr=wr, n_wc=n_wc, n_k=n_k,
         z_test=z_test, probe=probe,
     )
-    samp = jax.ShapeDtypeStruct((ntb, nv, tb * sj, 128), jnp.float32)
+    samp = jax.ShapeDtypeStruct((ntb, nv, 3, tb * sj, 128), jnp.float32)
     samp_spec = pl.BlockSpec(
-        (1, 1, tb * sj, 128), lambda t, v: (t, v, 0, 0),
+        (1, 1, 3, tb * sj, 128), lambda t, v: (t, v, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     plane_spec = pl.BlockSpec(
-        (1, hp, wp), lambda t, v: (v, 0, 0), memory_space=pltpu.VMEM
+        (1, 3, hp, wp), lambda t, v: (v, 0, 0, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
-        out_shape=(samp, samp, samp),
+        out_shape=samp,
         grid=(ntb, nv),
         in_specs=[
             pl.BlockSpec((1, tb * 3 * sj, 128), lambda t, v: (t, 0, 0),
@@ -193,51 +190,46 @@ def _gather_colors_padded(
             pl.BlockSpec((nv, 12), lambda t, v: (0, 0),
                          memory_space=pltpu.SMEM),
             plane_spec,
-            plane_spec,
-            plane_spec,
         ],
-        out_specs=(samp_spec, samp_spec, samp_spec),
+        out_specs=samp_spec,
         interpret=_ip.INTERPRET,
-    )(pts, proj, r, g, b)
+    )(pts, proj, planes)
 
 
 class StagedColorPlanes:
-    """Device-resident r/g/b planes of one view batch (see
+    """Device-resident (V, 3, hp, wp) r/g/b planes of one view batch (see
     :func:`stage_color_planes`). Staging is the expensive part of a gather
     call (uint8->f32 expansion + host->device upload of V*hp*wp*12 bytes);
     callers that gather the same views repeatedly (point chunking in
-    ``ops/coloration.colorize_points``, benchmarking) stage once."""
+    ``ops/coloration.colorize_points``, benchmarking) stage once. One
+    stacked array = ONE input DMA per grid step in the kernel."""
 
-    def __init__(self, r, g, b, h, w):
-        self.r, self.g, self.b = r, g, b
+    def __init__(self, planes, h, w):
+        self.planes = planes  # (V, 3, hp, wp) f32 on device
         self.h, self.w = int(h), int(w)
 
     @property
     def nbytes(self) -> int:
-        return 3 * self.r.size * 4
+        return self.planes.size * 4
 
 
 def stage_color_planes(
     colors: np.ndarray,  # (V, h, w, 3) uint8
     window_rows: int = 32,
 ) -> StagedColorPlanes:
-    """Split uint8 RGB into three padded fp32 planes and put them on device.
+    """Split uint8 RGB into (V, 3, hp, wp) padded fp32 planes on device.
 
     ``window_rows`` only sets the MINIMUM padded height (a staged batch can
     be gathered with any wr <= hp)."""
     nv, hgt, wid = colors.shape[:3]
-    c = colors.astype(np.float32)
-    r, g, b = c[..., 0], c[..., 1], c[..., 2]
+    c = colors.astype(np.float32).transpose(0, 3, 1, 2)  # (V, 3, h, w)
     ph = max(window_rows - hgt, (-hgt) % 8)
     pw = (-wid) % 128
     if ph or pw:
-        pad = ((0, 0), (0, ph), (0, pw))
-        r = np.pad(r, pad, constant_values=-1.0)
-        g = np.pad(g, pad, constant_values=-1.0)
-        b = np.pad(b, pad, constant_values=-1.0)
-    return StagedColorPlanes(
-        jnp.asarray(r), jnp.asarray(g), jnp.asarray(b), hgt, wid
-    )
+        c = np.pad(
+            c, ((0, 0), (0, 0), (0, ph), (0, pw)), constant_values=-1.0
+        )
+    return StagedColorPlanes(jnp.asarray(c), hgt, wid)
 
 
 def gather_colors_pallas(
@@ -260,7 +252,7 @@ def gather_colors_pallas(
         points = points[order]
     if not isinstance(colors, StagedColorPlanes):
         colors = stage_color_planes(colors, window_rows)
-    nv, hp_s, wp_s = colors.r.shape
+    nv, _three, hp_s, wp_s = colors.planes.shape
     hgt, wid = colors.h, colors.w
     tile = sj * 128
     # Round the tile count up to a multiple of tile_block (tb tiles share
@@ -281,19 +273,18 @@ def gather_colors_pallas(
         .transpose(0, 3, 1, 2)
         .reshape(ntb, tb * 3 * sj, 128)
     )
-    outs = _gather_colors_padded(
+    out = _gather_colors_padded(
         jnp.asarray(pts_t),
         jnp.asarray(np.asarray(proj).reshape(nv, 12).astype(np.float32)),
-        colors.r,
-        colors.g,
-        colors.b,
+        colors.planes,
         h=int(hgt), w=int(wid), sj=int(sj), tb=tb,
         wr=int(min(window_rows, hp_s)),
         n_wc=int(n_wc), n_k=int(n_k), z_test=bool(z_test),
-    )  # 3 x (ntb, V, tb*sj, 128)
+    )  # (ntb, V, 3, tb*sj, 128)
+    out = np.asarray(out)
     flat = [
-        np.asarray(o).transpose(1, 0, 2, 3).reshape(nv, nt * tile)[:, :n]
-        for o in outs
+        out[:, :, i].transpose(1, 0, 2, 3).reshape(nv, nt * tile)[:, :n]
+        for i in range(3)
     ]
     valid = flat[0] >= 0.0
     samples = np.stack(

@@ -130,15 +130,13 @@ def main():
         )
         kw = dict(
             h=h, w=w, sj=sj, tb=tile_block,
-            wr=min(window_rows, staged.r.shape[1]),
+            wr=min(window_rows, staged.planes.shape[2]),
             n_wc=n_wc, n_k=n_k, z_test=False, probe=probe,
         )
 
         def run():
-            outs = _gather_colors_padded(
-                pts_t, proj12, staged.r, staged.g, staged.b, **kw
-            )
-            return float(sum(o.sum() for o in outs))
+            out = _gather_colors_padded(pts_t, proj12, staged.planes, **kw)
+            return float(out.sum())
 
         s = run()
         t0 = time.perf_counter()
