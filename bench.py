@@ -143,7 +143,33 @@ def coloration_parity():
     return all(np.array_equal(x, y) for x, y in zip(a, b))
 
 
+def _tunnel_alive(port=8082, timeout=5.0) -> bool:
+    """The axon relay listens on 8082+; if it is dead every device touch
+    hangs forever (CLAUDE.md 'TUNNEL DEATH'). Probe before benching."""
+    import socket
+
+    try:
+        socket.create_connection(("127.0.0.1", port), timeout=timeout).close()
+        return True
+    except OSError:
+        return False
+
+
 def main():
+    if not _tunnel_alive():
+        print(
+            json.dumps(
+                {
+                    "metric": "tsdf_voxel_updates_per_sec_512cube_32views",
+                    "value": 0,
+                    "unit": "voxel_updates/s",
+                    "vs_baseline": 0,
+                    "error": "TPU tunnel relay down (no listener on 8082); "
+                    "see CLAUDE.md 'TUNNEL DEATH'",
+                }
+            )
+        )
+        return 2
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
     import tpu_validate
 

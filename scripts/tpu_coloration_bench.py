@@ -1,10 +1,10 @@
 """Hardware validation + micro-bench of the Pallas coloration kernel.
 
 Stages:
-  0. MXU one-hot-select exactness probe — documents why colors are packed
-     into two <2^16 planes (r*256+g, b) instead of one 24-bit plane: the
-     fp32 dot at precision=HIGHEST corrupts low mantissa bits on this chip
-     if values need >~16 bits.
+  0. MXU one-hot-select exactness probe — historical record of the
+     packed-plane corruption that led to per-channel planes (colors now
+     ride three uint8-valued planes, stacked (V,3,hp,wp), with
+     DEFAULT-precision selects).
   1. Parity: colorize_points(backend='pallas') vs the XLA gather path.
   2. Perf on the REALISTIC workload: a marching-cubes sphere mesh (vertex
      order = welded raster order, then Morton-tiled by the kernel wrapper)
