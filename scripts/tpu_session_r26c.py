@@ -62,12 +62,15 @@ def kz_sweep():
 
 
 def main():
-    print("== [1/2] z_block sweep ==", flush=True)
+    print("== [1/3] z_block x passes sweep ==", flush=True)
     kz_sweep()
-    print("== [2/2] coloration floor probes ==", flush=True)
+    print("== [2/3] coloration floor probes ==", flush=True)
     import tpu_coloration_bench
 
-    return tpu_coloration_bench.main()
+    rc = tpu_coloration_bench.main()
+    print("== [3/3] full bench ==", flush=True)
+    rc2 = bench.main()
+    return rc or rc2
 
 
 if __name__ == "__main__":
