@@ -86,6 +86,9 @@ def _colorize_kernel(
 ):
     view = pl.program_id(1)
     planes = tuple(planes_ref.at[0, i] for i in range(3))
+    # Per-view projection scalars are tile-invariant: read SMEM once per
+    # grid step, not per fori iteration (Mosaic does not hoist them).
+    pc = [proj_ref[view, i] for i in range(12)]
 
     # tb tiles share one grid step: the ~3*hp*wp*4-byte plane DMA and the
     # per-step fixed cost amortize over tb subtiles (measured 12 us/step at
@@ -113,10 +116,10 @@ def _colorize_kernel(
 
         def hom(r):
             return (
-                proj_ref[view, 4 * r + 0] * xs
-                + proj_ref[view, 4 * r + 1] * ys
-                + proj_ref[view, 4 * r + 2] * zs
-                + proj_ref[view, 4 * r + 3]
+                pc[4 * r + 0] * xs
+                + pc[4 * r + 1] * ys
+                + pc[4 * r + 2] * zs
+                + pc[4 * r + 3]
             )
 
         h0, h1, h2 = hom(0), hom(1), hom(2)
