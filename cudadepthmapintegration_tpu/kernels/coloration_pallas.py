@@ -83,6 +83,7 @@ def _colorize_kernel(
     planes_ref,  # (1, 3, hp, wp) r/g/b planes (uint8-valued f32), one DMA
     out_ref,  # (1, 1, 3, tb*sj, 128) r/g/b samples for (tile-block, view)
     *, h, w, hp, wp, sj, tb, wr, n_wc, n_k, z_test, probe=0,
+    static_tiles=False,
 ):
     view = pl.program_id(1)
     planes = tuple(planes_ref.at[0, i] for i in range(3))
@@ -156,24 +157,32 @@ def _colorize_kernel(
             )
         return 0
 
-    jax.lax.fori_loop(0, tb, tile_body, 0)
+    if static_tiles:
+        # Static unroll: every slice offset is a compile-time constant
+        # (tb x the code size; probe knob for the dynamic-ds cost).
+        for t_ in range(tb):
+            tile_body(t_, 0)
+    else:
+        jax.lax.fori_loop(0, tb, tile_body, 0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "h", "w", "sj", "tb", "wr", "n_wc", "n_k", "z_test", "probe"
+        "h", "w", "sj", "tb", "wr", "n_wc", "n_k", "z_test", "probe",
+        "static_tiles",
     ),
 )
 def _gather_colors_padded(
-    pts, proj, planes, *, h, w, sj, tb, wr, n_wc, n_k, z_test, probe=0
+    pts, proj, planes, *, h, w, sj, tb, wr, n_wc, n_k, z_test, probe=0,
+    static_tiles=False,
 ):
     ntb = pts.shape[0]  # number of tile-BLOCKS (tb tiles each)
     nv, _three, hp, wp = planes.shape
     kernel = functools.partial(
         _colorize_kernel,
         h=h, w=w, hp=hp, wp=wp, sj=sj, tb=tb, wr=wr, n_wc=n_wc, n_k=n_k,
-        z_test=z_test, probe=probe,
+        z_test=z_test, probe=probe, static_tiles=static_tiles,
     )
     samp = jax.ShapeDtypeStruct((ntb, nv, 3, tb * sj, 128), jnp.float32)
     samp_spec = pl.BlockSpec(

@@ -116,7 +116,8 @@ def main():
     staged = stage_color_planes(colors)
     proj12 = jnp.asarray(proj.reshape(nv, 12).astype(np.float32))
 
-    def time_pallas(pts, sj, window_rows, n_wc, n_k, tile_block=1, probe=0):
+    def time_pallas(pts, sj, window_rows, n_wc, n_k, tile_block=1,
+                    probe=0, static_tiles=False):
         tile = sj * 128
         p = pts[_morton_order(pts)]
         pad_n = (-len(p)) % (tile * tile_block)
@@ -132,6 +133,7 @@ def main():
             h=h, w=w, sj=sj, tb=tile_block,
             wr=min(window_rows, staged.planes.shape[2]),
             n_wc=n_wc, n_k=n_k, z_test=False, probe=probe,
+            static_tiles=static_tiles,
         )
 
         def run():
@@ -183,11 +185,14 @@ def main():
         dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=16, probe=5),
         dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=32, probe=5),
         dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=32, probe=2),
+        dict(sj=32, window_rows=64, n_wc=2, n_k=2, tile_block=8,
+             static_tiles=True),
     ):
         tp, _ = time_pallas(mesh_pts, **kw)
         gp = len(mesh_pts) * nv / tp / 1e9
         tag = (f"sj{kw['sj']} wr{kw['window_rows']} k{kw['n_k']} "
                f"wc{kw['n_wc']} tb{kw.get('tile_block', 1)}"
+               + (" STATIC" if kw.get("static_tiles") else "")
                + (f" PROBE{kw['probe']}" if kw.get("probe") else ""))
         print(f"pallas gather (mesh, {tag}): {gp:.2f} G samples/s "
               f"({tp*1e3:.1f} ms, {tx/tp:.1f}x xla)", flush=True)
