@@ -18,7 +18,6 @@ optional zlib compression, which stock VTK readers accept.
 from __future__ import annotations
 
 import base64
-import struct
 import xml.etree.ElementTree as ET
 import zlib
 from dataclasses import dataclass, field

@@ -19,7 +19,6 @@ Differences by design (TPU-first):
 from __future__ import annotations
 
 import dataclasses
-import os
 import time
 from typing import Iterable, Sequence
 

@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from cudadepthmapintegration_tpu.kernels.coloration_pallas import (
-    gather_colors_pallas,
     stage_color_planes,
 )
 from cudadepthmapintegration_tpu.ops.coloration import (
