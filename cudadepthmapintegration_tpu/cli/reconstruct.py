@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Views fused per volume pass (default 8)")
     p.add_argument("--streamBatch", type=int, default=32,
                    help="Views staged per host->device transfer (default 32)")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="Fault-tolerant fusion: checkpoint view-range units "
+                        "to this file; re-running with the same path "
+                        "RESUMES after a crash")
     p.add_argument("--mhaPath", type=str, default="meta_image_volume.mha",
                    help="Path of the always-written meta-image volume; "
                         "'' disables (reference hardcodes cwd)")
@@ -158,6 +162,7 @@ def main(argv: list[str] | None = None) -> int:
         view_batch=args.viewBatch,
         stream_batch=args.streamBatch,
         write_mha_path=args.mhaPath or None,
+        checkpoint_path=args.checkpoint,
     )
 
     try:

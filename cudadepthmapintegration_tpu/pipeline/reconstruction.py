@@ -61,6 +61,11 @@ class ReconstructionConfig:
     view_batch: int = 8
     stream_batch: int = 32  # views loaded/staged per host->device transfer
     write_mha_path: str | None = "meta_image_volume.mha"
+    # Fault-tolerant mode: fuse as retried, checkpointed view-range units
+    # (pipeline/runner.py); re-running with the same path RESUMES. The
+    # reference has no equivalent (gpuAssert exits, CudaReconstruction.cu:
+    # 68-76); unit size = stream_batch.
+    checkpoint_path: str | None = None
 
     def make_grid(self) -> VoxelGrid:
         """Grid construction with the CLI's dims/spacing/gridEnd inference
@@ -178,6 +183,34 @@ class ReconstructionPipeline:
                 view_batch=cfg.view_batch,
                 backend=cfg.backend,
             ).reset(initial)
+
+        if cfg.checkpoint_path is not None:
+            if initial is not None:
+                raise ValueError(
+                    "checkpoint_path and an explicit initial volume are "
+                    "mutually exclusive (the checkpoint seeds the volume)"
+                )
+            from .runner import FaultTolerantRunner
+
+            def integrate_fn(vol, batch):
+                integrator.reset(vol)
+                integrator.integrate(batch, cfg.threshold_best_cost)
+                return np.asarray(integrator.result())
+
+            runner = FaultTolerantRunner(
+                grid,
+                params,
+                integrate_fn,
+                unit_size=cfg.stream_batch,
+                checkpoint_path=cfg.checkpoint_path,
+                log=self.log,
+            )
+            t0 = time.perf_counter()
+            seq = views if hasattr(views, "__getitem__") else list(views)
+            volume = runner.run(seq)
+            integrator.reset(volume)
+            integrator.result()
+            return integrator, time.perf_counter() - t0
 
         t0 = time.perf_counter()
         batch: list[DepthMapView] = []

@@ -183,3 +183,53 @@ def test_pipeline_resume(sphere_dataset):
     first, _ = pipe.fuse(views[:4])
     second = pipe.run(views[4:], initial=first.result())
     np.testing.assert_allclose(second.volume, full.volume, atol=1e-12)
+
+
+def test_pipeline_checkpointed_fusion_resumes(sphere_dataset, tmp_path):
+    """checkpoint_path fuses via the fault-tolerant runner: results equal
+    the plain run, the checkpoint file exists, and a re-run resumes with
+    ZERO units re-fused (the integrator is never invoked again)."""
+    folder, views = sphere_dataset
+    kw = dict(
+        grid_dims=(17, 17, 17),
+        grid_spacing=(0.2, 0.2, 0.2),
+        grid_origin=(-1.7, -1.7, -1.7),
+        ray_thick=0.1,
+        ray_delta=0.3,
+        threshold_best_cost=0.5,
+        write_mha_path=None,
+        stream_batch=3,  # several units over 8 views
+    )
+    plain = ReconstructionPipeline(ReconstructionConfig(**kw))
+    ref, _ = plain.fuse(views)
+
+    ck = str(tmp_path / "fusion.ckpt.npz")
+    cfg = ReconstructionConfig(checkpoint_path=ck, **kw)
+    pipe = ReconstructionPipeline(cfg)
+    got, _ = pipe.fuse(views)
+    np.testing.assert_allclose(
+        np.asarray(got.result()), np.asarray(ref.result()), atol=1e-6
+    )
+    assert os.path.exists(ck)
+
+    # Resume: all units complete -> integrate must not run again.
+    pipe2 = ReconstructionPipeline(cfg)
+    calls = []
+    import cudadepthmapintegration_tpu.ops.integrate as I
+
+    orig = I.TSDFIntegrator.integrate
+    I.TSDFIntegrator.integrate = lambda *a, **k: calls.append(1)
+    try:
+        got2, _ = pipe2.fuse(views)
+    finally:
+        I.TSDFIntegrator.integrate = orig
+    assert calls == []
+    np.testing.assert_allclose(
+        np.asarray(got2.result()), np.asarray(ref.result()), atol=1e-6
+    )
+
+    # initial + checkpoint are mutually exclusive.
+    import pytest
+
+    with pytest.raises(ValueError):
+        pipe2.fuse(views, initial=np.zeros((16, 16, 16), np.float32))
