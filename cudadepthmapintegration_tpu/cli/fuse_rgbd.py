@@ -9,6 +9,7 @@ dense grid); flags follow this package's conventions.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -57,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "current camera are evicted (their values reset if "
                         "re-observed). Bounds memory for unbounded "
                         "sequences; omit to keep everything.")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="Checkpoint the sparse grid to this file every "
+                        "--checkpointEvery fused frames; re-running with "
+                        "the same path RESUMES after the last checkpointed "
+                        "frame")
+    p.add_argument("--checkpointEvery", type=int, default=50,
+                   help="Fused frames between checkpoints (default 50)")
     p.add_argument("--intrinsics", type=str, default="fr1",
                    choices=["fr1", "fr2", "fr3", "custom"],
                    help="TUM camera calibration preset, or 'custom' with "
@@ -149,22 +157,58 @@ def main(argv: list[str] | None = None) -> int:
     from ..ops.sparse_grid import SparseTSDFGrid
     from ..pipeline.streaming import prefetch_views
 
-    sparse = SparseTSDFGrid(
-        voxel_size=args.voxelSize,
-        params=params,
-        capacity=args.capacity,
-        pixel_stride=args.pixelStride,
-        with_color=args.onlineColor,
-    )
+    sparse = None
+    next_index = 0
+    fused_indices = []
+    if args.checkpoint is not None and os.path.exists(args.checkpoint):
+        try:
+            sparse, extra = SparseTSDFGrid.load(args.checkpoint)
+            next_index = int(extra.get("next_index", 0))
+            fused_indices = list(extra.get("fused_indices", []))
+            log.info(
+                f"resumed {args.checkpoint}: {sparse.frames_fused} frames "
+                f"fused, continuing at source frame {next_index}"
+            )
+        except (OSError, ValueError, KeyError) as e:
+            print(
+                f"Error : cannot resume checkpoint {args.checkpoint} ({e})",
+                file=sys.stderr,
+            )
+            return 1
+        if (
+            sparse.voxel_size != args.voxelSize
+            or sparse.with_color != args.onlineColor
+        ):
+            print(
+                "Error : checkpoint configuration does not match the "
+                "command line (voxelSize/onlineColor)",
+                file=sys.stderr,
+            )
+            return 1
+    if sparse is None:
+        sparse = SparseTSDFGrid(
+            voxel_size=args.voxelSize,
+            params=params,
+            capacity=args.capacity,
+            pixel_stride=args.pixelStride,
+            with_color=args.onlineColor,
+        )
     n = len(dataset)
     if args.maxFrames is not None:
         n = min(n, args.maxFrames * args.frameStride)
+
+    def save_ckpt(cursor):
+        sparse.save(
+            args.checkpoint,
+            extra={"next_index": cursor, "fused_indices": fused_indices},
+        )
+
     t0 = time.perf_counter()
-    fused_indices = []
+    fused_since_ckpt = 0
     for i, frame in enumerate(prefetch_views(dataset)):
         if i >= n:
             break
-        if i % args.frameStride:
+        if i < next_index or i % args.frameStride:
             continue
         sparse.integrate_frame(frame, threshold_best_cost=args.threshBestCost)
         if (
@@ -178,7 +222,14 @@ def main(argv: list[str] | None = None) -> int:
             )
         if args.colorize:
             fused_indices.append(i)
+        if args.checkpoint is not None:
+            fused_since_ckpt += 1
+            if fused_since_ckpt >= args.checkpointEvery:
+                save_ckpt(i + 1)
+                fused_since_ckpt = 0
         log.progress(i + 1, n)
+    if args.checkpoint is not None and fused_since_ckpt:
+        save_ckpt(n)
     dt = time.perf_counter() - t0
     log.info("")
     log.info(

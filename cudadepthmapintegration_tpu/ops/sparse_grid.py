@@ -254,6 +254,88 @@ class SparseTSDFGrid:
     def num_allocated(self) -> int:
         return len(self.block_map)
 
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: str, extra: dict | None = None) -> None:
+        """Atomic checkpoint of the full sparse state: config, block hash
+        map, the USED prefix of the device pools, frame counter, and a
+        JSON-serializable ``extra`` dict for the caller (e.g. the driving
+        CLI's frame cursor). Written via tmp + ``os.replace`` so a crash
+        mid-save leaves the previous checkpoint intact."""
+        import json
+        import os
+
+        ns = self._next_slot
+        coords = np.array(sorted(self.block_map), np.int64).reshape(-1, 3)
+        slots = np.array(
+            [self.block_map[tuple(c)] for c in coords], np.int64
+        )
+        data = {
+            "version": 1,
+            "voxel_size": self.voxel_size,
+            "params": np.array(
+                [self.params.thick, self.params.rho,
+                 self.params.eta, self.params.delta], np.float64
+            ),
+            "block_shape": np.array(self.block_shape, np.int64),
+            "capacity": self.capacity,
+            "pixel_stride": self.pixel_stride,
+            "with_color": self.with_color,
+            "coords": coords,
+            "slots": slots,
+            "free_slots": np.array(self._free_slots, np.int64),
+            "next_slot": ns,
+            "frames_fused": self.frames_fused,
+            "pool": np.asarray(self.pool[:ns]),
+            "extra_json": json.dumps(extra or {}),
+        }
+        if self.with_color:
+            data["color_pool"] = np.asarray(self.color_pool[:ns])
+            data["weight_pool"] = np.asarray(self.weight_pool[:ns])
+        tmp = f"{path}.tmp"
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **data)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str, gather_backend: str = "auto"):
+        """Restore a :meth:`save` checkpoint. Returns ``(grid, extra)``."""
+        import json
+
+        with np.load(path, allow_pickle=False) as z:
+            p = z["params"]
+            grid = cls(
+                voxel_size=float(z["voxel_size"]),
+                params=RayPotential(
+                    thick=float(p[0]), rho=float(p[1]),
+                    eta=float(p[2]), delta=float(p[3]),
+                ),
+                block_shape=tuple(int(b) for b in z["block_shape"]),
+                capacity=int(z["capacity"]),
+                pixel_stride=int(z["pixel_stride"]),
+                with_color=bool(z["with_color"]),
+                gather_backend=gather_backend,
+            )
+            ns = int(z["next_slot"])
+            grid._next_slot = ns
+            grid._free_slots = [int(s) for s in z["free_slots"]]
+            grid.block_map = {
+                tuple(int(x) for x in c): int(s)
+                for c, s in zip(z["coords"], z["slots"])
+            }
+            grid.frames_fused = int(z["frames_fused"])
+            if ns:
+                grid.pool = grid.pool.at[:ns].set(jnp.asarray(z["pool"]))
+                if grid.with_color:
+                    grid.color_pool = grid.color_pool.at[:ns].set(
+                        jnp.asarray(z["color_pool"])
+                    )
+                    grid.weight_pool = grid.weight_pool.at[:ns].set(
+                        jnp.asarray(z["weight_pool"])
+                    )
+            extra = json.loads(str(z["extra_json"]))
+        return grid, extra
+
     @property
     def _block_extent(self) -> np.ndarray:
         """Block world extent per axis, (x, y, z) order."""

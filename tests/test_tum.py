@@ -1,5 +1,6 @@
 """TUM RGB-D reader: synthetic dataset round-trip + fusion smoke test."""
 
+import os
 import numpy as np
 import pytest
 
@@ -165,3 +166,75 @@ def test_fuse_rgbd_cli_online_color(tmp_path):
         "--tum", str(tmp_path), "--output", out,
         "--colorize", "--onlineColor",
     ]) == 1
+
+
+def test_fuse_rgbd_cli_checkpoint_resume(tmp_path):
+    from cudadepthmapintegration_tpu.cli import fuse_rgbd
+    from cudadepthmapintegration_tpu.io import read_vtp
+    from cudadepthmapintegration_tpu.ops.sparse_grid import SparseTSDFGrid
+
+    views = sphere_scene(n_views=6, width=64, height=48, focal=60.0)
+    make_tum_dir(tmp_path, views)
+    base = [
+        "--tum", str(tmp_path), "--voxelSize", "0.1",
+        "--pixelStride", "2", "--contour", "1.0",
+        "--intrinsics", "custom",
+        "--fx", "60", "--fy", "60", "--cx", "32", "--cy", "24",
+    ]
+    # Reference: all 6 frames in one run.
+    ref_out = str(tmp_path / "ref.vtp")
+    assert fuse_rgbd.main(base + ["--output", ref_out]) == 0
+
+    # Two-run resume: 3 frames, then the remaining 3 from the checkpoint.
+    ck = str(tmp_path / "grid.ckpt.npz")
+    out1 = str(tmp_path / "half.vtp")
+    assert fuse_rgbd.main(
+        base + ["--output", out1, "--checkpoint", ck,
+                "--checkpointEvery", "2", "--maxFrames", "3"]
+    ) == 0
+    assert os.path.exists(ck)
+    g, extra = SparseTSDFGrid.load(ck)
+    assert g.frames_fused == 3 and extra["next_index"] == 3
+
+    out2 = str(tmp_path / "resumed.vtp")
+    assert fuse_rgbd.main(
+        base + ["--output", out2, "--checkpoint", ck]
+    ) == 0
+    ref = read_vtp(ref_out)
+    got = read_vtp(out2)
+    assert got.num_points == ref.num_points
+    np.testing.assert_allclose(got.points, ref.points, atol=1e-5)
+
+    # Mismatched config is rejected cleanly.
+    assert fuse_rgbd.main(
+        base[:2] + ["--voxelSize", "0.2"] + base[4:]
+        + ["--output", out2, "--checkpoint", ck]
+    ) == 1
+
+
+def test_sparse_grid_save_load_roundtrip(tmp_path):
+    from cudadepthmapintegration_tpu.ops.sparse_grid import SparseTSDFGrid
+    from cudadepthmapintegration_tpu.core.ray_potential import RayPotential
+
+    views = sphere_scene(n_views=3, width=64, height=48, focal=60.0)
+    params = RayPotential(thick=0.2, rho=0.8, eta=0.03, delta=0.8)
+    g = SparseTSDFGrid(voxel_size=0.1, params=params, pixel_stride=2,
+                       with_color=True, gather_backend="xla")
+    for v in views:
+        g.integrate_frame(v)
+    path = str(tmp_path / "g.npz")
+    g.save(path, extra={"next_index": 7})
+    g2, extra = SparseTSDFGrid.load(path, gather_backend="xla")
+    assert extra == {"next_index": 7}
+    assert g2.block_map == g.block_map
+    assert g2.frames_fused == g.frames_fused
+    np.testing.assert_array_equal(np.asarray(g2.pool), np.asarray(g.pool))
+    np.testing.assert_array_equal(
+        np.asarray(g2.color_pool), np.asarray(g.color_pool)
+    )
+    # Fusing one more frame after load equals fusing it before save.
+    g.integrate_frame(views[0])
+    g2.integrate_frame(views[0])
+    np.testing.assert_allclose(
+        np.asarray(g2.pool), np.asarray(g.pool), atol=1e-6
+    )
