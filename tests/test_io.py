@@ -1,6 +1,5 @@
 """I/O round-trips: KRTD, list files, VTI/VTP/MHA, npz views."""
 
-import os
 import textwrap
 
 import numpy as np

@@ -15,7 +15,6 @@ import subprocess
 import sys
 
 import numpy as np
-import pytest
 
 from cudadepthmapintegration_tpu.core import RayPotential, VoxelGrid
 from cudadepthmapintegration_tpu.ops import integrate_views_oracle
