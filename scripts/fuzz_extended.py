@@ -1,0 +1,99 @@
+"""Extended offline parity fuzz (CPU, interpret-mode Pallas).
+
+Runs many random scenes (tests/test_fuzz_parity.random_scene) through
+every backend and kernel mode — oracle fp64, XLA fp64/fp32, Pallas
+interpret (windows / rowsel / rowsel3 / rowselm / kz) and the native C++
+oracle — and reports any violation. Intended for long idle stretches;
+the pytest fuzz covers a handful of seeds, this sweeps hundreds.
+
+Usage: python scripts/fuzz_extended.py [n_seeds=100] [seed0=1000]
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+import cudadepthmapintegration_tpu.kernels.integrate_pallas as KP
+from cudadepthmapintegration_tpu import native
+from cudadepthmapintegration_tpu.ops import (
+    TSDFIntegrator,
+    integrate_views_oracle,
+)
+
+KP.INTERPRET = True
+
+from test_fuzz_parity import random_scene  # noqa: E402
+
+
+def check(seed) -> list[str]:
+    bad = []
+    grid, views, params = random_scene(seed)
+    exp = integrate_views_oracle(grid, views, params)
+
+    got64 = (
+        TSDFIntegrator(grid, params, dtype=np.float64)
+        .reset().integrate(views).result()
+    )
+    if not np.allclose(got64, exp, atol=1e-9):
+        bad.append("xla_fp64")
+
+    if native.available():
+        gotn = native.integrate_f64(grid, views, params)
+        if not np.allclose(gotn, exp, atol=1e-12):
+            bad.append("native")
+
+    exp32 = exp.astype(np.float32)
+    vol = np.zeros(grid.volume_shape, np.float32)
+    pallas_variants = {
+        "windows": dict(mode="windows"),
+        "rowsel": dict(mode="rowsel"),
+        "rowsel3": dict(mode="rowsel3"),
+        "rowselm": dict(mode="rowselm"),
+        "rowsel_kz2": dict(mode="rowsel", z_block=2),
+        "rowsel3_kz4": dict(mode="rowsel3", z_block=4),
+        "rowsel_vb2": dict(mode="rowsel", view_block=2),
+    }
+    ref32 = None
+    for name, kw in pallas_variants.items():
+        got = np.asarray(
+            KP.integrate_views_oriented(vol, grid, views, params, **kw)
+        )
+        if (np.abs(got - exp32) > 1e-3).mean() >= 5e-3:
+            bad.append(f"pallas_{name}_vs_oracle")
+        if name == "rowsel":
+            ref32 = got
+        elif name in ("rowsel3", "rowselm", "rowsel_kz2") and not (
+            np.array_equal(got, ref32)
+        ):
+            # these must be BIT-identical to rowsel (same accumulation
+            # order); windows/vb2 may differ in fp32 rounding order.
+            bad.append(f"pallas_{name}_not_bitident")
+    return bad
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    s0 = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    failures = 0
+    for i in range(n):
+        seed = s0 + i
+        bad = check(seed)
+        if bad:
+            failures += 1
+            print(f"seed {seed}: FAIL {bad}", flush=True)
+        if (i + 1) % 10 == 0:
+            print(f"[{i + 1}/{n}] failures so far: {failures}", flush=True)
+    print(f"done: {failures} failing seeds of {n}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
