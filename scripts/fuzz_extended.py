@@ -79,13 +79,34 @@ def check(seed) -> list[str]:
     return bad
 
 
+def check_coloration(seed) -> list[str]:
+    """Random points x random views: pallas-interpret vs the XLA gather
+    (bit-equality contract) and counts vs a direct numpy projection."""
+    from cudadepthmapintegration_tpu.ops.coloration import colorize_points
+
+    bad = []
+    _grid, views, _params = random_scene(seed)
+    rng = np.random.default_rng(seed ^ 0xC0105)
+    for v in views:
+        if v.color is None:
+            v.color = np.zeros(v.depth.shape + (3,), np.uint8)
+        v.color[:] = rng.integers(0, 256, v.color.shape, dtype=np.uint8)
+    pts = (rng.random((int(rng.integers(50, 700)), 3)) - 0.5) * 6.0
+    a = colorize_points(pts, views, backend="pallas")
+    b = colorize_points(pts, views, backend="xla", dtype=np.float32)
+    for name, x, y in zip(("mean", "median", "count"), a, b):
+        if not np.array_equal(x, y):
+            bad.append(f"coloration_{name}")
+    return bad
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     s0 = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     failures = 0
     for i in range(n):
         seed = s0 + i
-        bad = check(seed)
+        bad = check(seed) + check_coloration(seed)
         if bad:
             failures += 1
             print(f"seed {seed}: FAIL {bad}", flush=True)
