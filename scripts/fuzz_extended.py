@@ -100,13 +100,48 @@ def check_coloration(seed) -> list[str]:
     return bad
 
 
+def check_marching_cubes(seed) -> list[str]:
+    """Random band-limited volumes: the JAX and native C++ marching-cubes
+    implementations share the weld-key contract, so outputs must match
+    EXACTLY (points to 1e-12, triangle indices bitwise)."""
+    from cudadepthmapintegration_tpu.ops.marching_cubes import marching_cubes
+
+    if not native.available():
+        return []
+    rng = np.random.default_rng(seed ^ 0x3C3C)
+    n = int(rng.integers(6, 18))
+    xs = np.linspace(-1.5, 1.5, n)
+    # Smooth random field: few random Fourier-ish bumps + sphere bias.
+    gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
+    vol = 1.0 - np.sqrt(gx * gx + gy * gy + gz * gz)
+    for _ in range(int(rng.integers(1, 4))):
+        c = rng.uniform(-1, 1, 3)
+        s = rng.uniform(0.3, 1.0)
+        vol += rng.uniform(-0.8, 0.8) * np.exp(
+            -(((gx - c[0]) ** 2 + (gy - c[1]) ** 2 + (gz - c[2]) ** 2) / s**2)
+        )
+    vol = vol.transpose(2, 1, 0)  # (z, y, x)
+    iso = float(rng.uniform(-0.3, 0.3))
+    a = marching_cubes(vol, iso, xs, xs, xs, backend="jax")
+    b = marching_cubes(vol, iso, xs, xs, xs, backend="native")
+    bad = []
+    if a.num_points != b.num_points or a.num_triangles != b.num_triangles:
+        bad.append("mc_counts")
+    elif a.num_points and not (
+        np.allclose(a.points, b.points, atol=1e-12)
+        and np.array_equal(a.triangles, b.triangles)
+    ):
+        bad.append("mc_values")
+    return bad
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     s0 = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     failures = 0
     for i in range(n):
         seed = s0 + i
-        bad = check(seed) + check_coloration(seed)
+        bad = check(seed) + check_coloration(seed) + check_marching_cubes(seed)
         if bad:
             failures += 1
             print(f"seed {seed}: FAIL {bad}", flush=True)
