@@ -35,10 +35,14 @@ def kz_sweep():
     # per-row v-span scales with VOXEL SIZE (tilt px/voxel), so k6 miss is
     # 31.8% @256^3 / 14.8% @512^3 / 4.3% @1024^3 -> per-size optimum k is
     # ~10 / 6 / 4. kz divides the per-step depth-block DMA; bit-identical.
+    # Measured 2026-08-18 (first run of this script): 512^3 k6 kz1 4.89 G,
+    # kz2 4.88 G (no win), kz4 VMEM-OOM (scoped 22M > 16M limit) — kz>2
+    # overflows the Mosaic scoped-vmem stack, so it is dropped below and
+    # every variant is try/except-guarded so one failure can't eat the rest.
     base = dict(mode="rowsel3", window_rows=64)
     for label, dims, n_views, variants in (
-        ("512^3 x 32", 513, 32, ((6, 1), (6, 2), (6, 4))),
-        ("256^3 x 32", 257, 32, ((6, 1), (10, 1), (6, 8), (10, 8))),
+        ("512^3 x 32", 513, 32, ((6, 1), (6, 2))),
+        ("256^3 x 32", 257, 32, ((6, 1), (10, 1), (10, 2))),
         ("1024^3 x 16", 1025, 16, ((6, 1), (4, 1), (4, 2))),
     ):
         grid, views, params = bench.build_workload(dims=dims, n_views=n_views)
@@ -46,9 +50,14 @@ def kz_sweep():
         print(f"-- {label} --", flush=True)
         ref = {}
         for k, kz in variants:
-            ups, dt, checksum = timed(
-                plan, grid, n_views, rowsel_passes=k, z_block=kz, **base
-            )
+            try:
+                ups, dt, checksum = timed(
+                    plan, grid, n_views, rowsel_passes=k, z_block=kz, **base
+                )
+            except Exception as e:  # compile OOM / Mosaic 500: keep sweeping
+                print(f"  rowsel3 k{k:<2} kz{kz:<2} FAILED: {str(e)[:120]}",
+                      flush=True)
+                continue
             # kz variants at fixed k are bit-identical; different k only
             # changes pass/walk split, also exact -> same bits.
             tag = "" if checksum == ref.setdefault(0, checksum) else (
