@@ -45,6 +45,11 @@ from cudadepthmapintegration_tpu.testing import orbit_cameras, render_sphere_vie
 # k6 = 4.91 G upd/s @512^3 x 32 vs k2's 4.40, k8 regresses).
 KERNEL_PLAN_KW = dict(subtile_rows=64)
 KERNEL_RUN_KW = dict(mode="rowsel3", window_rows=64, rowsel_passes=6)
+# Per-size pass-count overrides (r2.6c hardware sweep): per-row v-span
+# scales with VOXEL size, so the optimum k falls with resolution —
+# k10 measured +3% @256^3 (2.47 vs 2.40 G); k4 == k6 @1024^3 (keep 6);
+# z_block>1 measured NO win at any size (depth DMA already hidden).
+RUN_KW_BY_SIZE = {"256": dict(KERNEL_RUN_KW, rowsel_passes=10)}
 
 
 def build_workload(dims=513, n_views=32, width=512, height=512):
@@ -62,16 +67,17 @@ def build_workload(dims=513, n_views=32, width=512, height=512):
     return grid, views, params
 
 
-def bench_pallas(grid, views, params, reps=5):
+def bench_pallas(grid, views, params, reps=5, run_kw=None):
+    run_kw = KERNEL_RUN_KW if run_kw is None else run_kw
     plan = OrientedFusionPlan(grid, views, params, **KERNEL_PLAN_KW)
-    out = plan.run(jnp.zeros(grid.volume_shape, jnp.float32), **KERNEL_RUN_KW)
+    out = plan.run(jnp.zeros(grid.volume_shape, jnp.float32), **run_kw)
     checksum = float(out.sum())  # warms compiles + forces completion
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         checksum = float(
             plan.run(
-                jnp.zeros(grid.volume_shape, jnp.float32), **KERNEL_RUN_KW
+                jnp.zeros(grid.volume_shape, jnp.float32), **run_kw
             ).sum()
         )
         times.append(time.perf_counter() - t0)
@@ -182,7 +188,10 @@ def main():
         ("1024", 1025, 16, 3),
     ):
         grid, views, params = build_workload(dims=dims, n_views=n_views)
-        tmin, tmed, _ = bench_pallas(grid, views, params, reps=reps)
+        tmin, tmed, _ = bench_pallas(
+            grid, views, params, reps=reps,
+            run_kw=RUN_KW_BY_SIZE.get(label),
+        )
         upd = grid.num_cells * n_views
         sizes[label] = {
             "gups_min": round(upd / tmin / 1e9, 3),
@@ -214,10 +223,18 @@ def main():
     sparse_fps_pallas, sum_sp = bench_sparse_fps(gather_backend="pallas")
     sparse_fps_xla, sum_sx = bench_sparse_fps(gather_backend="xla")
     sparse_fps = max(sparse_fps_pallas, sparse_fps_xla)
+    # Cross-backend gate: bitwise match expected (the sparse paths cut
+    # their fusions with optimization_barrier so both programs compile the
+    # same projection/accumulate subgraphs); rel <= 1e-5 is the hard gate
+    # (a toolchain that re-contracts across the barrier would reintroduce
+    # benign ulp-level pixel flips — fail only on real divergence).
     sparse_match = bool(sum_sp == sum_sx)
+    sparse_rel = abs(sum_sp - sum_sx) / max(abs(sum_sx), 1.0)
+    sparse_rel_ok = sparse_rel <= 1e-5
     if not sparse_match:
         print(
-            f"WARNING: sparse gather backends diverge: {sum_sp} vs {sum_sx}",
+            f"WARNING: sparse gather backends diverge: {sum_sp} vs {sum_sx}"
+            f" (rel {sparse_rel:.2e})",
             file=sys.stderr,
         )
 
@@ -240,16 +257,24 @@ def main():
                 "parity_ok": parity_ok,
                 "coloration_parity_ok": color_ok,
                 "sparse_backends_match": sparse_match,
+                "sparse_backend_rel": float(f"{sparse_rel:.3e}"),
                 "sparse_fusion_fps": round(sparse_fps, 1),
                 "sparse_fps_by_backend": {
                     "pallas": round(sparse_fps_pallas, 1),
                     "xla": round(sparse_fps_xla, 1),
                 },
-                "kernel": {**KERNEL_PLAN_KW, **KERNEL_RUN_KW},
+                "kernel": {
+                    **KERNEL_PLAN_KW,
+                    **KERNEL_RUN_KW,
+                    "per_size": {
+                        k: v["rowsel_passes"]
+                        for k, v in RUN_KW_BY_SIZE.items()
+                    },
+                },
             }
         )
     )
-    return 0 if (parity_ok and color_ok) else 1
+    return 0 if (parity_ok and color_ok and sparse_rel_ok) else 1
 
 
 if __name__ == "__main__":

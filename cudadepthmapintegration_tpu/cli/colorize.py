@@ -37,10 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "float64"],
                    help="Projection compute dtype (default float32)")
-    p.add_argument("--backend", type=str, default="xla",
-                   choices=["xla", "pallas"],
+    p.add_argument("--backend", type=str, default="auto",
+                   choices=["auto", "xla", "pallas"],
                    help="Gather backend: portable XLA or the Pallas TPU "
-                        "kernel (kernels/coloration_pallas.py)")
+                        "kernel (kernels/coloration_pallas.py); auto = "
+                        "pallas on TPU at float32, xla otherwise")
     p.add_argument("--compatIntMean", action="store_true",
                    help="Reference-parity int mean numerator "
                         "(MeshColoration.cxx:176-178)")

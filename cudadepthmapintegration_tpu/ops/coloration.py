@@ -121,7 +121,7 @@ def colorize_points(
     z_test: bool = False,
     dtype=np.float32,
     compat_int_mean: bool = False,
-    backend: str = "xla",
+    backend: str = "auto",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Color statistics for (N, 3) world points against all views.
 
@@ -137,7 +137,9 @@ def colorize_points(
     ``backend='pallas'`` replaces the XLA gather stage with the TPU
     packed-RGB rowsel kernel (``kernels/coloration_pallas.py``) — fp32
     projection only; everything downstream (masked median, mean, count)
-    is identical.
+    is identical. ``'auto'`` (default) picks pallas on TPU backends when
+    the projection dtype is float32 (3.6x the XLA gather, hardware
+    parity-gated bit-for-bit in bench.py) and xla otherwise.
 
     Returns (mean_uint8 (N,3), median_uint8 (N,3), count_int32 (N,)).
     """
@@ -145,6 +147,15 @@ def colorize_points(
     if n_views == 0:
         raise ValueError("no views given for coloration")
     dtype = np.dtype(dtype)
+    if backend not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if dtype == np.float32
+            and jax.default_backend() in ("tpu", "axon")
+            else "xla"
+        )
     first = views[0]
     h, w = first.depth.shape
 
@@ -248,7 +259,7 @@ def colorize_mesh(
     z_test: bool = False,
     dtype=np.float32,
     compat_int_mean: bool = False,
-    backend: str = "xla",
+    backend: str = "auto",
 ) -> PolyData:
     """Attach MeanColoration / MedianColoration / NbProjectedDepthMap arrays
     (names per ``MeshColoration.cxx:113-133``) to a copy of `mesh`."""

@@ -90,7 +90,16 @@ def _sparse_integrate(
     u = jnp.sign(h0 / h2) * jnp.floor(jnp.abs(h0 / h2) + 0.5)
     v = jnp.sign(h1 / h2) * jnp.floor(jnp.abs(h1 / h2) + 0.5)
     valid = (h2 >= 0) & (u >= 0) & (v >= 0) & (u < w) & (v < h)
+    # Barriers pin cross-backend bit-identity: use_pallas is a STATIC arg,
+    # so the two backends are two separately compiled programs whose fusion
+    # shapes differ around the gather — XLA's FMA contraction then differs
+    # inside the projection math, and a round-half pixel can flip (first
+    # seen on hardware 2026-08-18: rel 2e-7 checksum drift over ~10^7
+    # voxel-pixel pairs). Cutting the fusion here makes the projection and
+    # accumulate subgraphs identical in both programs.
+    u, v, zcam, valid = jax.lax.optimization_barrier((u, v, zcam, valid))
     d = _gather_depth(depth, u, v, valid, h, w, use_pallas)
+    d = jax.lax.optimization_barrier(d)
     valid &= d != -1.0
     val = ray_potential_jnp(zcam, d, thick, rho, eta, delta)
     blocks = blocks + jnp.where(valid, val, 0.0)
@@ -161,6 +170,9 @@ def _sparse_accumulate_color(
     u = jnp.sign(h0 / h2) * jnp.floor(jnp.abs(h0 / h2) + 0.5)
     v = jnp.sign(h1 / h2) * jnp.floor(jnp.abs(h1 / h2) + 0.5)
     valid = (h2 >= 0) & (u >= 0) & (v >= 0) & (u < w) & (v < h)
+    # Same cross-backend fusion isolation as _sparse_integrate (see the
+    # barrier comment there).
+    u, v, zcam, valid = jax.lax.optimization_barrier((u, v, zcam, valid))
     if use_pallas:
         from ..kernels.gather_points import gather_pixels_pallas
 
@@ -187,6 +199,7 @@ def _sparse_accumulate_color(
         rgb_s = jnp.take(
             rgb.reshape(-1, 3), vi * w + ui, axis=0
         )  # (B, bz, by, bx, 3)
+    d, rgb_s = jax.lax.optimization_barrier((d, rgb_s))
     near = valid & (d != -1.0)
     falloff = jnp.maximum(0.0, 1.0 - jnp.abs(zcam - d) / band)
     wadd = near.astype(jnp.float32) * falloff

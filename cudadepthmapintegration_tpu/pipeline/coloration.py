@@ -24,7 +24,7 @@ class ColorationConfig:
     z_test: bool = False  # opt-in visibility fix (reference has none)
     dtype: str = "float32"
     # 'xla' (portable gather) or 'pallas' (TPU packed-RGB rowsel kernel).
-    backend: str = "xla"
+    backend: str = "auto"
     # Reference numerator parity (MeshColoration.cxx:176-178).
     compat_int_mean: bool = False
 
