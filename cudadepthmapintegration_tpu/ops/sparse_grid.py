@@ -92,11 +92,13 @@ def _sparse_integrate(
     valid = (h2 >= 0) & (u >= 0) & (v >= 0) & (u < w) & (v < h)
     # Barriers pin cross-backend bit-identity: use_pallas is a STATIC arg,
     # so the two backends are two separately compiled programs whose fusion
-    # shapes differ around the gather — XLA's FMA contraction then differs
-    # inside the projection math, and a round-half pixel can flip (first
-    # seen on hardware 2026-08-18: rel 2e-7 checksum drift over ~10^7
-    # voxel-pixel pairs). Cutting the fusion here makes the projection and
-    # accumulate subgraphs identical in both programs.
+    # shapes differ around the gather — XLA's FMA contraction could then
+    # differ inside the projection math and flip a round-half pixel.
+    # Cutting the fusion here makes the projection and accumulate
+    # subgraphs identical in both programs, so per-voxel content is
+    # comparable bitwise (bench.py gates on it; note the pallas path also
+    # Morton-orders block ALLOCATION, so pool-slot order — and any
+    # slot-ordered reduction like pool.sum() — legitimately differs).
     u, v, zcam, valid = jax.lax.optimization_barrier((u, v, zcam, valid))
     d = _gather_depth(depth, u, v, valid, h, w, use_pallas)
     d = jax.lax.optimization_barrier(d)
