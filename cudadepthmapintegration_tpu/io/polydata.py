@@ -71,11 +71,13 @@ def write_vtp(path: str, mesh: PolyData, compress: bool = False) -> None:
     w = VtkXmlWriter(compress=compress)
     n_pts = mesh.num_points
     n_tris = mesh.num_triangles
+    # Mark the active normals attribute like vtkXMLPolyDataWriter does.
+    pd_attrs = ' Normals="Normals"' if "Normals" in mesh.point_data else ""
     body = [
         "  <PolyData>\n",
         f'    <Piece NumberOfPoints="{n_pts}" NumberOfVerts="0" NumberOfLines="0" '
         f'NumberOfStrips="0" NumberOfPolys="{n_tris}">\n',
-        "      <PointData>\n",
+        f"      <PointData{pd_attrs}>\n",
     ]
     for name, arr in mesh.point_data.items():
         body.append(w.data_array_xml(arr, name=name, indent="        "))

@@ -144,10 +144,13 @@ def _weld_triangle_soup(
     used_verts: np.ndarray,  # (M, 3) vertex positions, 3 per triangle
     used_keys: np.ndarray,  # (M,) canonical edge ids
     matrix: np.ndarray | None,
+    return_keys: bool = False,
 ) -> PolyData:
     """Merge duplicate vertices by exact integer edge identity (each MC
     vertex lies on one grid edge), then drop degenerate triangles — matching
-    vtkContourFilter's merged-points output without float tolerances."""
+    vtkContourFilter's merged-points output without float tolerances.
+    ``return_keys=True`` additionally returns the per-point canonical edge
+    keys (same order as ``points``) for gradient-normal computation."""
     uniq, inverse = np.unique(used_keys, return_inverse=True)
     points = np.zeros((uniq.shape[0], 3), dtype=used_verts.dtype)
     points[inverse] = used_verts  # same key -> same position (exact math)
@@ -161,7 +164,8 @@ def _weld_triangle_soup(
     if matrix is not None:
         m = np.asarray(matrix, dtype=np.float64)
         points = points @ m[:3, :3].T + m[:3, 3]
-    return PolyData(points, triangles)
+    mesh = PolyData(points, triangles)
+    return (mesh, uniq) if return_keys else mesh
 
 
 def marching_cubes(
@@ -172,6 +176,7 @@ def marching_cubes(
     zs: np.ndarray,
     matrix: np.ndarray | None = None,
     backend: str = "auto",
+    compute_normals: bool = False,
     _return_soup: bool = False,
 ) -> PolyData:
     """Extract the `iso` isosurface of a (nz, ny, nx) point-scalar volume.
@@ -184,6 +189,11 @@ def marching_cubes(
     per reconstruction, on host-resident data; the C++ walker avoids both a
     device round-trip and an XLA gather-bound compact pass.
 
+    ``compute_normals=True`` attaches a ``"Normals"`` point array
+    (gradient normals, ``ops/normals.py`` — vtkContourFilter's
+    ComputeNormals default, see ``Reconstruction/main.cxx:169-173``),
+    transformed by ``matrix`` like the points.
+
     ``_return_soup=True`` skips welding and returns the raw
     ``(verts (M, 3), keys (M,))`` triangle soup with volume-local edge keys
     — for callers (sparse per-block / sharded slab extraction) that
@@ -193,6 +203,23 @@ def marching_cubes(
         from .. import native
 
         backend = "native" if native.available() else "jax"
+
+    def finish(flat_verts, flat_keys, pv_for_normals):
+        if not compute_normals:
+            return _weld_triangle_soup(flat_verts, flat_keys, matrix)
+        mesh, uniq = _weld_triangle_soup(
+            flat_verts, flat_keys, matrix, return_keys=True
+        )
+        from .normals import normals_for_edge_keys, transform_normals
+
+        normals = normals_for_edge_keys(
+            pv_for_normals, xs, ys, zs, uniq, iso
+        )
+        if matrix is not None:
+            normals = transform_normals(normals, matrix)
+        mesh.point_data["Normals"] = normals
+        return mesh
+
     if backend == "native":
         from .. import native
 
@@ -200,9 +227,7 @@ def marching_cubes(
         verts, keys = native.marching_cubes_f64(pv_np, iso, xs, ys, zs)
         if _return_soup:
             return verts.reshape(-1, 3), keys.reshape(-1)
-        return _weld_triangle_soup(
-            verts.reshape(-1, 3), keys.reshape(-1), matrix
-        )
+        return finish(verts.reshape(-1, 3), keys.reshape(-1), pv_np)
     pv = jnp.asarray(point_volume)
     nz, ny, nx = pv.shape
     cfg = np.asarray(_cube_config(pv, jnp.asarray(iso, pv.dtype)))
@@ -242,16 +267,23 @@ def marching_cubes(
     flat_valid = valid.reshape(-1)
     if _return_soup:
         return flat_verts[flat_valid], flat_keys[flat_valid]
-    return _weld_triangle_soup(
-        flat_verts[flat_valid], flat_keys[flat_valid], matrix
+    return finish(
+        flat_verts[flat_valid], flat_keys[flat_valid], np.asarray(pv)
     )
 
 
 def extract_isosurface(
-    grid: VoxelGrid, cell_volume: np.ndarray | jax.Array, iso: float
+    grid: VoxelGrid,
+    cell_volume: np.ndarray | jax.Array,
+    iso: float,
+    compute_normals: bool = True,
 ) -> PolyData:
-    """Full reference pipeline: cell->point averaging, contour at `iso`,
+    """Full reference pipeline: cell->point averaging, contour at `iso`
+    (with gradient "Normals" — vtkContourFilter's ComputeNormals default),
     grid-matrix transform (``Reconstruction/main.cxx:150-189``)."""
     pv = cell_to_point(jnp.asarray(cell_volume))
     xs, ys, zs = grid.point_axes(np.asarray(pv).dtype)
-    return marching_cubes(pv, iso, xs, ys, zs, matrix=grid.matrix)
+    return marching_cubes(
+        pv, iso, xs, ys, zs, matrix=grid.matrix,
+        compute_normals=compute_normals,
+    )

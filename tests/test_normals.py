@@ -1,0 +1,117 @@
+"""Gradient mesh normals (ops/normals.py).
+
+The reference's contour stage is an unmodified vtkContourFilter
+(``Reconstruction/main.cxx:169-173``) whose ComputeNormals default is ON:
+output meshes carry a "Normals" point array = normalized -gradient of the
+scalar field interpolated to the crossing. These tests pin direction
+(analytic sphere), unit length, backend equality (jax vs native keys),
+matrix transform semantics, and the end-to-end pipeline surface.
+"""
+
+import numpy as np
+import pytest
+
+from cudadepthmapintegration_tpu.core import VoxelGrid
+from cudadepthmapintegration_tpu.ops.marching_cubes import (
+    extract_isosurface,
+    marching_cubes,
+)
+from cudadepthmapintegration_tpu.ops.normals import transform_normals
+
+
+def sphere_points(n=33, r=1.0, extent=1.6):
+    xs = np.linspace(-extent, extent, n)
+    x, y, z = np.meshgrid(xs, xs, xs, indexing="ij")
+    vals = np.sqrt(x * x + y * y + z * z) - r  # SDF: negative inside
+    return vals.transpose(2, 1, 0), xs
+
+
+def test_sphere_normals_point_inward_for_sdf():
+    # SDF grows outward, so -gradient (VTK convention) points INWARD.
+    pv, xs = sphere_points()
+    mesh = marching_cubes(pv, 0.0, xs, xs, xs, compute_normals=True)
+    n = mesh.point_data["Normals"]
+    assert n.shape == (mesh.num_points, 3) and n.dtype == np.float32
+    radial = mesh.points / np.linalg.norm(mesh.points, axis=1, keepdims=True)
+    dots = (n * radial).sum(axis=1)
+    assert (dots < -0.98).all()  # tight: sphere gradient is exactly radial
+
+
+def test_normals_unit_length():
+    pv, xs = sphere_points(21)
+    mesh = marching_cubes(pv, 0.0, xs, xs, xs, compute_normals=True)
+    norms = np.linalg.norm(mesh.point_data["Normals"], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-6)
+
+
+def test_backend_equality():
+    from cudadepthmapintegration_tpu import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    pv, xs = sphere_points(25)
+    a = marching_cubes(pv, 0.0, xs, xs, xs, backend="jax",
+                       compute_normals=True)
+    b = marching_cubes(pv, 0.0, xs, xs, xs, backend="native",
+                       compute_normals=True)
+    # Same canonical edge keys -> bit-identical normals.
+    assert np.array_equal(a.point_data["Normals"], b.point_data["Normals"])
+
+
+def test_matrix_rotates_normals():
+    pv, xs = sphere_points(21)
+    rot = np.eye(4)
+    rot[:3, :3] = np.array([[0.0, -1.0, 0.0],
+                            [1.0, 0.0, 0.0],
+                            [0.0, 0.0, 1.0]])
+    plain = marching_cubes(pv, 0.0, xs, xs, xs, compute_normals=True)
+    rotated = marching_cubes(pv, 0.0, xs, xs, xs, matrix=rot,
+                             compute_normals=True)
+    expect = plain.point_data["Normals"] @ rot[:3, :3].T.astype(np.float32)
+    np.testing.assert_allclose(
+        rotated.point_data["Normals"], expect, atol=1e-6
+    )
+
+
+def test_transform_normals_inverse_transpose():
+    # Anisotropic scale: normals must use the inverse-transpose, not the
+    # point matrix — a plane x+z=c scaled by (2,1,1) keeps normals
+    # proportional to (0.5, 0, 1), NOT (2, 0, 1).
+    n = np.array([[1.0, 0.0, 1.0]]) / np.sqrt(2.0)
+    m = np.diag([2.0, 1.0, 1.0, 1.0])
+    out = transform_normals(n, m)
+    expect = np.array([0.5, 0.0, 1.0]) / np.linalg.norm([0.5, 0.0, 1.0])
+    np.testing.assert_allclose(out[0], expect, atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-6)
+
+
+def test_extract_isosurface_attaches_normals_outward_for_fusion_sign():
+    # Fusion scalar is POSITIVE behind the surface (inside the object,
+    # rayPotential +rho region, CudaReconstruction.cu:110-118), so
+    # -gradient points OUTWARD on fused volumes.
+    grid = VoxelGrid(dims=(33, 33, 33), origin=(-1.6, -1.6, -1.6),
+                     spacing=(0.1, 0.1, 0.1))
+    xs, ys, zs = grid.point_axes(np.float64)
+    x, y, z = np.meshgrid(xs, ys, zs, indexing="ij")
+    centers = 0.5 * (xs[:-1] + xs[1:])
+    cx, cy, cz = np.meshgrid(centers, centers, centers, indexing="ij")
+    cell = (1.0 - np.sqrt(cx * cx + cy * cy + cz * cz)).transpose(2, 1, 0)
+    mesh = extract_isosurface(grid, cell, 0.0)
+    n = mesh.point_data["Normals"]
+    radial = mesh.points / np.linalg.norm(mesh.points, axis=1, keepdims=True)
+    assert ((n * radial).sum(axis=1) > 0.97).all()
+
+
+def test_vtp_roundtrip_preserves_normals(tmp_path):
+    from cudadepthmapintegration_tpu.io import read_vtp, write_vtp
+
+    pv, xs = sphere_points(17)
+    mesh = marching_cubes(pv, 0.0, xs, xs, xs, compute_normals=True)
+    path = str(tmp_path / "n.vtp")
+    write_vtp(path, mesh)
+    back = read_vtp(path)
+    np.testing.assert_allclose(
+        back.point_data["Normals"], mesh.point_data["Normals"], atol=0
+    )
+    text = open(path, "rb").read(4096).decode("latin1")
+    assert 'Normals="Normals"' in text  # active-attribute marker
