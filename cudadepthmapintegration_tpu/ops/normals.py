@@ -22,7 +22,11 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["normals_for_edge_keys", "transform_normals"]
+__all__ = [
+    "geometric_vertex_normals",
+    "normals_for_edge_keys",
+    "transform_normals",
+]
 
 
 def _node_gradients(pv, xs, ys, zs, kk, jj, ii):
@@ -85,6 +89,32 @@ def normals_for_edge_keys(
     norm = np.linalg.norm(n, axis=1)
     n = n / np.where(norm == 0, 1.0, norm)[:, None]
     return n.astype(np.float32)
+
+
+def geometric_vertex_normals(
+    points: np.ndarray, triangles: np.ndarray
+) -> np.ndarray:
+    """(V, 3) float32 area-weighted vertex normals from triangle winding.
+
+    For the SPARSE extraction path (``SparseTSDFGrid.extract_mesh`` — our
+    extension, no reference counterpart): gradient normals would need a
+    2-voxel cross-block halo, while marching-cubes winding is already
+    consistent with the field orientation (same sign convention as
+    ``normals_for_edge_keys``; validated against it in tests), so the
+    geometric normal is the robust block-local choice. Zero-area /
+    unreferenced vertices keep a zero normal."""
+    points = np.asarray(points, np.float64)
+    triangles = np.asarray(triangles, np.int64)
+    face = np.cross(
+        points[triangles[:, 1]] - points[triangles[:, 0]],
+        points[triangles[:, 2]] - points[triangles[:, 0]],
+    )  # magnitude = 2*area -> area weighting for free
+    acc = np.zeros_like(points)
+    for c in range(3):
+        np.add.at(acc, triangles[:, c], face)
+    norm = np.linalg.norm(acc, axis=1)
+    acc = acc / np.where(norm == 0, 1.0, norm)[:, None]
+    return acc.astype(np.float32)
 
 
 def transform_normals(normals: np.ndarray, matrix: np.ndarray) -> np.ndarray:

@@ -662,7 +662,12 @@ class SparseTSDFGrid:
             dense[iz : iz + bz, iy : iy + by, ix : ix + bx] = pool[slot]
         return dense, grid
 
-    def extract_mesh(self, iso: float = 0.0, backend: str = "auto") -> PolyData:
+    def extract_mesh(
+        self,
+        iso: float = 0.0,
+        backend: str = "auto",
+        compute_normals: bool = True,
+    ) -> PolyData:
         """Per-block marching cubes: memory ∝ allocated blocks.
 
         Per block: its own cells + a 1-cell halo gathered from allocated
@@ -758,9 +763,18 @@ class SparseTSDFGrid:
 
         if not all_verts:
             return PolyData(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
-        return _weld_triangle_soup(
+        mesh = _weld_triangle_soup(
             np.concatenate(all_verts), np.concatenate(all_keys), grid.matrix
         )
+        if compute_normals:
+            # Area-weighted winding normals (see ops/normals.py for why the
+            # sparse path does not use gradient normals).
+            from .normals import geometric_vertex_normals
+
+            mesh.point_data["Normals"] = geometric_vertex_normals(
+                mesh.points, mesh.triangles
+            )
+        return mesh
 
     # -- online color --------------------------------------------------------
 

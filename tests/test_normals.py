@@ -102,6 +102,45 @@ def test_extract_isosurface_attaches_normals_outward_for_fusion_sign():
     assert ((n * radial).sum(axis=1) > 0.97).all()
 
 
+def test_geometric_vertex_normals_single_triangle():
+    from cudadepthmapintegration_tpu.ops.normals import (
+        geometric_vertex_normals,
+    )
+
+    pts = np.array([[0.0, 0, 0], [1.0, 0, 0], [0.0, 1, 0]])
+    tris = np.array([[0, 1, 2]])
+    n = geometric_vertex_normals(pts, tris)
+    np.testing.assert_allclose(n, [[0, 0, 1]] * 3, atol=1e-7)
+    # Unreferenced vertex keeps a zero normal.
+    n2 = geometric_vertex_normals(np.vstack([pts, [5.0, 5, 5]]), tris)
+    np.testing.assert_allclose(n2[3], [0, 0, 0])
+
+
+def test_sparse_extract_mesh_normals_outward():
+    from cudadepthmapintegration_tpu.core import RayPotential
+    from cudadepthmapintegration_tpu.ops.sparse_grid import SparseTSDFGrid
+    from cudadepthmapintegration_tpu.testing import sphere_scene
+
+    params = RayPotential(thick=0.06, rho=0.8, eta=0.03, delta=0.2)
+    views = sphere_scene(n_views=8, width=96, height=72, focal=80.0)
+    sparse = SparseTSDFGrid(voxel_size=0.08, params=params, pixel_stride=2)
+    for v in views:
+        sparse.integrate_frame(v)
+    mesh = sparse.extract_mesh(iso=1.0)
+    n = mesh.point_data["Normals"]
+    assert n.shape == (mesh.num_points, 3)
+    # Select the OUTER crossing sheet only: the accumulated potential also
+    # recrosses iso=1.0 on its decay side deeper behind the surface, where
+    # the gradient (and hence the winding) legitimately points inward.
+    near = np.abs(np.linalg.norm(mesh.points, axis=1) - 1.0) < 0.05
+    radial = mesh.points[near] / np.linalg.norm(
+        mesh.points[near], axis=1, keepdims=True
+    )
+    dots = (n[near] * radial).sum(axis=1)
+    assert near.sum() > 100 and (dots > 0).mean() > 0.95
+    assert sparse.extract_mesh(iso=1.0, compute_normals=False).point_data == {}
+
+
 def test_vtp_roundtrip_preserves_normals(tmp_path):
     from cudadepthmapintegration_tpu.io import read_vtp, write_vtp
 
