@@ -22,6 +22,9 @@ class PolyData:
         self.points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
         self.triangles = np.asarray(triangles, dtype=np.int64).reshape(-1, 3)
         self.point_data: dict[str, np.ndarray] = {}
+        # Name of the active-scalars point array (VTK attribute semantics);
+        # written/read as the PointData Scalars="..." XML attribute.
+        self.active_scalars: str | None = None
 
     @property
     def num_points(self) -> int:
@@ -64,6 +67,7 @@ def read_vtp(path: str) -> PolyData:
     if pdata is not None:
         for da in pdata.findall("DataArray"):
             out.point_data[da.get("Name")] = decode_data_array(da, ctx)
+        out.active_scalars = pdata.get("Scalars")
     return out
 
 
@@ -71,8 +75,11 @@ def write_vtp(path: str, mesh: PolyData, compress: bool = False) -> None:
     w = VtkXmlWriter(compress=compress)
     n_pts = mesh.num_points
     n_tris = mesh.num_triangles
-    # Mark the active normals attribute like vtkXMLPolyDataWriter does.
+    # Mark active attributes like vtkXMLPolyDataWriter does.
     pd_attrs = ' Normals="Normals"' if "Normals" in mesh.point_data else ""
+    active_scalars = getattr(mesh, "active_scalars", None)
+    if active_scalars and active_scalars in mesh.point_data:
+        pd_attrs += f' Scalars="{active_scalars}"'
     body = [
         "  <PolyData>\n",
         f'    <Piece NumberOfPoints="{n_pts}" NumberOfVerts="0" NumberOfLines="0" '

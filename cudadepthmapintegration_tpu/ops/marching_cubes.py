@@ -283,7 +283,16 @@ def extract_isosurface(
     grid-matrix transform (``Reconstruction/main.cxx:150-189``)."""
     pv = cell_to_point(jnp.asarray(cell_volume))
     xs, ys, zs = grid.point_axes(np.asarray(pv).dtype)
-    return marching_cubes(
+    mesh = marching_cubes(
         pv, iso, xs, ys, zs, matrix=grid.matrix,
         compute_normals=compute_normals,
     )
+    # vtkContourFilter's ComputeScalars default is also ON: the output
+    # carries the contoured scalars (== iso at every crossing) under the
+    # input array's name, marked as the active scalars
+    # (vtkCudaReconstructionFilter.cxx:129-135 names the array).
+    mesh.point_data["reconstruction_scalar"] = np.full(
+        mesh.num_points, iso, np.float64
+    )
+    mesh.active_scalars = "reconstruction_scalar"
+    return mesh

@@ -29,8 +29,17 @@ def sharded_extract_isosurface(
     iso: float,
     mesh: Mesh,
     backend: str = "auto",
+    compute_normals: bool = True,
 ) -> PolyData:
-    """Contour a z-sharded fused volume into one welded mesh."""
+    """Contour a z-sharded fused volume into one welded mesh.
+
+    ``compute_normals`` (default, matching the single-device path) attaches
+    gradient "Normals": each slab is pulled with a ONE-PLANE z margin so the
+    central differences at slab-boundary nodes see the same neighbor values
+    as the dense path — normals are bit-identical to
+    ``extract_isosurface``'s. Boundary edges are computed by both adjacent
+    slabs from identical global values, so the post-weld scatter is
+    order-independent."""
     points = sharded_cell_to_point(volume, mesh)  # (cz+1, cy+1, cx+1)
     xs, ys, zs = grid.point_axes(np.float64)
     nz, ny, nx = grid.point_shape
@@ -38,7 +47,7 @@ def sharded_extract_isosurface(
     n_shards = mesh.shape["z"]
     bz = cz // n_shards
 
-    all_verts, all_keys = [], []
+    all_verts, all_keys, all_normals = [], [], []
     from .. import native
 
     use_native = backend == "native" or (
@@ -49,7 +58,10 @@ def sharded_extract_isosurface(
         # Slab of point planes [k0, k0+bz] — cells [k0, k0+bz); each cell
         # belongs to exactly one slab (no duplicate triangles), while the
         # shared boundary plane gives identical edge keys for exact welding.
-        slab = np.asarray(points[k0 : k0 + bz + 1]).astype(np.float64)
+        k0m = max(k0 - 1, 0)  # margined pull for gradient normals
+        k1m = min(k0 + bz + 1, nz - 1)
+        slab_m = np.asarray(points[k0m : k1m + 1]).astype(np.float64)
+        slab = slab_m[k0 - k0m : k0 - k0m + bz + 1]
         if use_native:
             verts, keys = native.marching_cubes_f64(
                 slab, iso, xs, ys, zs[k0 : k0 + bz + 1]
@@ -72,6 +84,20 @@ def sharded_extract_isosurface(
         gkeys = axis * (nx * ny * nz) + (kk * ny + rem // nx) * nx + rem % nx
         all_verts.append(verts)
         all_keys.append(gkeys)
+        if compute_normals:
+            from ..ops.normals import normals_for_edge_keys
+
+            nzm = slab_m.shape[0]
+            mkeys = (
+                axis * (nx * ny * nzm)
+                + ((kk - k0m) * ny + rem // nx) * nx
+                + rem % nx
+            )
+            all_normals.append(
+                normals_for_edge_keys(
+                    slab_m, xs, ys, zs[k0m : k1m + 1], mkeys, iso
+                )
+            )
 
     if not all_verts:
         return PolyData(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
@@ -79,7 +105,17 @@ def sharded_extract_isosurface(
     soup_keys = np.concatenate(all_keys)
     # Boundary edges appear in two slabs with identical keys and positions;
     # welding dedups them exactly.
-    out = _weld_triangle_soup(soup_verts, soup_keys, grid.matrix)
+    out, uniq = _weld_triangle_soup(
+        soup_verts, soup_keys, grid.matrix, return_keys=True
+    )
+    if compute_normals:
+        from ..ops.normals import transform_normals
+
+        welded = np.zeros((uniq.shape[0], 3), np.float32)
+        welded[np.searchsorted(uniq, soup_keys)] = np.concatenate(all_normals)
+        if grid.matrix is not None:
+            welded = transform_normals(welded, grid.matrix)
+        out.point_data["Normals"] = welded
     return out
 
 

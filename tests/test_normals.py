@@ -141,6 +141,30 @@ def test_sparse_extract_mesh_normals_outward():
     assert sparse.extract_mesh(iso=1.0, compute_normals=False).point_data == {}
 
 
+def test_extract_isosurface_compute_scalars_parity(tmp_path):
+    # vtkContourFilter's ComputeScalars default: the output carries the
+    # contoured scalar array (constant == iso) under the input name,
+    # marked as the active scalars; survives coloration's deep copy.
+    from cudadepthmapintegration_tpu.io import read_vtp, write_vtp
+
+    grid = VoxelGrid(dims=(17, 17, 17), origin=(-1.6, -1.6, -1.6),
+                     spacing=(0.2, 0.2, 0.2))
+    centers = 0.5 * 0.2 + np.arange(16) * 0.2 - 1.6
+    cx, cy, cz = np.meshgrid(centers, centers, centers, indexing="ij")
+    cell = (1.0 - np.sqrt(cx * cx + cy * cy + cz * cz)).transpose(2, 1, 0)
+    mesh = extract_isosurface(grid, cell, 0.25)
+    arr = mesh.point_data["reconstruction_scalar"]
+    assert arr.dtype == np.float64 and (arr == 0.25).all()
+    assert mesh.active_scalars == "reconstruction_scalar"
+    path = str(tmp_path / "s.vtp")
+    write_vtp(path, mesh)
+    back = read_vtp(path)
+    assert back.active_scalars == "reconstruction_scalar"
+    assert (back.point_data["reconstruction_scalar"] == 0.25).all()
+    text = open(path, "rb").read(4096).decode("latin1")
+    assert 'Scalars="reconstruction_scalar"' in text
+
+
 def test_vtp_roundtrip_preserves_normals(tmp_path):
     from cudadepthmapintegration_tpu.io import read_vtp, write_vtp
 

@@ -37,6 +37,11 @@ def test_sharded_mesh_matches_single_device(n_z, backend):
     assert dist.num_triangles == single.num_triangles
     np.testing.assert_allclose(dist.points, single.points, atol=1e-9)
     np.testing.assert_array_equal(dist.triangles, single.triangles)
+    # Gradient normals: the 1-plane margined slab pulls make the sharded
+    # central differences see the same values as the dense path.
+    np.testing.assert_array_equal(
+        dist.point_data["Normals"], single.point_data["Normals"]
+    )
 
 
 def test_sharded_mesh_empty_volume():
