@@ -34,6 +34,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--zTest", action="store_true",
                    help="Reject samples from cameras behind the vertex "
                         "(the reference never does; opt-in fix)")
+    p.add_argument("--occlusionTol", type=float, default=None,
+                   help="Reject samples occluded in their own view: "
+                        "camera z must not exceed the view's depth at the "
+                        "pixel by more than this tolerance (world units; "
+                        "the reference samples through occluders). Use at "
+                        "least the voxel size — mesh vertices sit up to "
+                        "half a voxel off the true surface. Forces the "
+                        "xla backend.")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "float64"],
                    help="Projection compute dtype (default float32)")
@@ -62,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
         dtype=args.dtype,
         backend=args.backend,
         compat_int_mean=args.compatIntMean,
+        occlusion_tol=args.occlusionTol,
     )
     try:
         ColorationPipeline(config, log).run(args.input, args.output)

@@ -79,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Attach mean/median vertex colors via a second "
                         "streaming pass over the frames (exact projective "
                         "coloration)")
+    p.add_argument("--occlusionTol", type=float, default=None,
+                   help="With --colorize: reject samples occluded in their "
+                        "own frame (camera z > frame depth + tol; use at "
+                        "least --voxelSize). Forces the xla gather path.")
     p.add_argument("--onlineColor", action="store_true",
                    help="Accumulate vertex colors ONLINE in a per-block "
                         "color pool during fusion (single pass; works with "
@@ -260,6 +264,15 @@ def main(argv: list[str] | None = None) -> int:
             if hasattr(dataset, "color_views")
             else dataset
         )
+        if args.occlusionTol is not None and hasattr(dataset, "color_views"):
+            # Native .sens color views carry a placeholder depth (no
+            # occlusion evidence); occlusion testing needs the
+            # depth-geometry views (depth-resampled color).
+            log.info(
+                "--occlusionTol: colorizing through the depth camera "
+                "(occlusion needs per-frame depth)\n"
+            )
+            color_source = dataset
 
         class _LazyFusedViews:
             def __len__(self_inner):

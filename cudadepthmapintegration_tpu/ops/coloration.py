@@ -49,12 +49,24 @@ from ..io.polydata import PolyData
 __all__ = ["colorize_mesh", "colorize_points"]
 
 
-@partial(jax.jit, static_argnames=("h", "w", "z_test"))
-def _gather_chunk(points, proj, colors_flat, h, w, z_test):
+@partial(
+    jax.jit, static_argnames=("h", "w", "z_test", "occlusion")
+)
+def _gather_chunk(
+    points, proj, colors_flat, h, w, z_test,
+    occlusion=False, depths_flat=None, occlusion_tol=0.0,
+):
     """points (N, 3); proj (Vc, 3, 4); colors_flat (Vc, h*w, 3) uint8.
 
     Returns samples (Vc, N, 3) uint8 and valid (Vc, N) bool for one view
     batch — the project->gather stage of ``MeshColoration.cxx:150-170``.
+
+    ``occlusion=True`` additionally rejects samples whose camera-space z
+    lies more than ``occlusion_tol`` behind the view's own depth surface
+    at that pixel (``depths_flat`` (Vc, h*w); the reference never does
+    this — MeshColoration.cxx:150-170 samples straight through occluders).
+    Pixels with the -1 invalid-depth sentinel carry no visibility
+    evidence and are rejected.
     """
     # hom[v, n, r] = proj[v, r, :3] @ p + proj[v, r, 3], written ELEMENTWISE
     # in fixed left-to-right association ((px*x + py*y) + pz*z) + pw — NOT
@@ -82,6 +94,9 @@ def _gather_chunk(points, proj, colors_flat, h, w, z_test):
     ui = jnp.where(valid, pu, 0).astype(jnp.int32)
     vi = jnp.where(valid, pv, 0).astype(jnp.int32)
     idx = vi * w + ui  # (Vc, N)
+    if occlusion:
+        d = jnp.take_along_axis(depths_flat, idx, axis=1)  # (Vc, N)
+        valid &= (d != -1.0) & (z <= d + occlusion_tol)
     rgb = jnp.take_along_axis(
         colors_flat, idx[..., None].astype(jnp.int32), axis=1
     )  # (Vc, N, 3) uint8
@@ -122,6 +137,7 @@ def colorize_points(
     dtype=np.float32,
     compat_int_mean: bool = False,
     backend: str = "auto",
+    occlusion_tol: float | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Color statistics for (N, 3) world points against all views.
 
@@ -141,6 +157,12 @@ def colorize_points(
     the projection dtype is float32 (3.6x the XLA gather, hardware
     parity-gated bit-for-bit in bench.py) and xla otherwise.
 
+    ``occlusion_tol`` (opt-in; the reference samples straight through
+    occluders, SURVEY §7.1) rejects samples whose camera z exceeds the
+    view's depth at the pixel by more than the tolerance (or whose depth
+    is the -1 sentinel). Runs on the xla gather path (``'auto'`` resolves
+    there; ``backend='pallas'`` is rejected).
+
     Returns (mean_uint8 (N,3), median_uint8 (N,3), count_int32 (N,)).
     """
     n_views = len(views)
@@ -149,10 +171,16 @@ def colorize_points(
     dtype = np.dtype(dtype)
     if backend not in ("auto", "pallas", "xla"):
         raise ValueError(f"unknown backend {backend!r}")
+    if occlusion_tol is not None and backend == "pallas":
+        raise ValueError(
+            "occlusion_tol requires the xla backend (the pallas kernel "
+            "gathers colors only)"
+        )
     if backend == "auto":
         backend = (
             "pallas"
-            if dtype == np.float32
+            if occlusion_tol is None
+            and dtype == np.float32
             and jax.default_backend() in ("tpu", "axon")
             else "xla"
         )
@@ -209,11 +237,25 @@ def colorize_points(
                     cached = (proj, stage_color_planes(colors))
                     cached_bytes = cached[1].nbytes
                 else:
+                    depths_j = None
+                    if occlusion_tol is not None:
+                        depths = np.stack(
+                            [np.asarray(v.depth, np.float32) for v in batch]
+                        )
+                        if pad_v:
+                            depths = np.concatenate(
+                                [depths,
+                                 np.full((pad_v, h, w), -1.0, np.float32)]
+                            )
+                        depths_j = jnp.asarray(depths.reshape(vc, h * w))
                     cached = (
                         jnp.asarray(proj.astype(dtype)),
                         jnp.asarray(colors.reshape(vc, h * w, 3)),
+                        depths_j,
                     )
-                    cached_bytes = cached[1].size
+                    cached_bytes = cached[1].size + (
+                        depths_j.nbytes if depths_j is not None else 0
+                    )
                 if staged_bytes + cached_bytes <= staged_budget:
                     staged_cache[vs] = cached
                     staged_bytes += cached_bytes
@@ -227,6 +269,12 @@ def colorize_points(
             else:
                 rgb, ok = _gather_chunk(
                     block_j, cached[0], cached[1], h=h, w=w, z_test=z_test,
+                    occlusion=occlusion_tol is not None,
+                    depths_flat=cached[2],
+                    occlusion_tol=(
+                        0.0 if occlusion_tol is None
+                        else jnp.asarray(occlusion_tol, dtype)
+                    ),
                 )
             samples[vs:ve] = np.asarray(rgb)[: ve - vs]
             valid[vs:ve] = np.asarray(ok)[: ve - vs]
@@ -260,15 +308,17 @@ def colorize_mesh(
     dtype=np.float32,
     compat_int_mean: bool = False,
     backend: str = "auto",
+    occlusion_tol: float | None = None,
 ) -> PolyData:
     """Attach MeanColoration / MedianColoration / NbProjectedDepthMap arrays
     (names per ``MeshColoration.cxx:113-133``) to a copy of `mesh`."""
     out = PolyData(mesh.points.copy(), mesh.triangles.copy())
     out.point_data = dict(mesh.point_data)
+    out.active_scalars = getattr(mesh, "active_scalars", None)
     mean_u8, med_u8, counts = colorize_points(
         mesh.points, views, chunk=chunk, view_chunk=view_chunk,
         z_test=z_test, dtype=dtype, compat_int_mean=compat_int_mean,
-        backend=backend,
+        backend=backend, occlusion_tol=occlusion_tol,
     )
     out.point_data["MeanColoration"] = mean_u8
     out.point_data["MedianColoration"] = med_u8

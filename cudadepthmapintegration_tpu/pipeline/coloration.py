@@ -27,6 +27,8 @@ class ColorationConfig:
     backend: str = "auto"
     # Reference numerator parity (MeshColoration.cxx:176-178).
     compat_int_mean: bool = False
+    # Opt-in per-view occlusion test (world units; reference has none).
+    occlusion_tol: float | None = None
 
 
 class ColorationPipeline:
@@ -50,6 +52,7 @@ class ColorationPipeline:
                 dtype=self.config.dtype,
                 backend=self.config.backend,
                 compat_int_mean=self.config.compat_int_mean,
+                occlusion_tol=self.config.occlusion_tol,
             )
 
     def run(self, input_path: str, output_path: str) -> PolyData:

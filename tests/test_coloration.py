@@ -164,3 +164,46 @@ def test_lazy_view_sequence_supported():
     for a, b in zip(out, ref):
         np.testing.assert_array_equal(a, b)
     assert sorted(set(loads)) == list(range(6))
+
+
+def _frontal_view(depth_value=2.0, w=32, h=24):
+    """Camera at origin looking down +z: u = 10*x/z + 16, v = 10*y/z + 12."""
+    from cudadepthmapintegration_tpu.core.camera import Camera
+    from cudadepthmapintegration_tpu.core.view import DepthMapView
+
+    k = np.array([[10.0, 0, 16.0], [0, 10.0, 12.0], [0, 0, 1.0]])
+    depth = np.full((h, w), depth_value, np.float64)
+    color = np.full((h, w, 3), 200, np.uint8)
+    return DepthMapView(depth=depth, camera=Camera(k=k, rt=np.eye(4)),
+                        color=color)
+
+
+def test_occlusion_tol_rejects_hidden_and_invalid_samples():
+    view = _frontal_view(depth_value=2.0)
+    view.depth[0, :] = -1.0  # one invalid row (v=0 <- y large negative)
+    pts = np.array([
+        [0.0, 0.0, 2.0],    # on the surface -> visible
+        [0.0, 0.0, 3.0],    # 1.0 behind the surface -> occluded
+        [0.0, 0.0, 1.0],    # in front of the surface -> visible
+        [0.0, -2.4, 2.0],   # projects to the invalid row -> no evidence
+    ])
+    # Reference behavior: everything in-bounds counts.
+    _, _, base = colorize_points(pts, [view])
+    np.testing.assert_array_equal(base, [1, 1, 1, 1])
+    # Occlusion mode: hidden + invalid-depth samples rejected.
+    mean, _, count = colorize_points(pts, [view], occlusion_tol=0.1)
+    np.testing.assert_array_equal(count, [1, 0, 1, 0])
+    np.testing.assert_array_equal(mean[0], [200, 200, 200])
+    np.testing.assert_array_equal(mean[1], [0, 0, 0])
+    # Tolerance admits samples within it.
+    _, _, c2 = colorize_points(pts, [view], occlusion_tol=1.5)
+    np.testing.assert_array_equal(c2, [1, 1, 1, 0])
+
+
+def test_occlusion_tol_rejects_pallas_backend():
+    import pytest
+
+    view = _frontal_view()
+    with pytest.raises(ValueError, match="occlusion_tol"):
+        colorize_points(np.zeros((2, 3)), [view], occlusion_tol=0.1,
+                        backend="pallas")
