@@ -282,7 +282,10 @@ def main(argv: list[str] | None = None) -> int:
                 return color_source[fused_indices[j]]
 
         with log.phase("Colorize"):
-            mesh = colorize_mesh(mesh, _LazyFusedViews(), view_chunk=32)
+            mesh = colorize_mesh(
+                mesh, _LazyFusedViews(), view_chunk=32,
+                occlusion_tol=args.occlusionTol,
+            )
     from ..io.polydata import write_vtp
 
     write_vtp(args.output, mesh)

@@ -238,3 +238,27 @@ def test_sparse_grid_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(g2.pool), np.asarray(g.pool), atol=1e-6
     )
+
+
+def test_fuse_rgbd_cli_occlusion_tol(tmp_path):
+    from cudadepthmapintegration_tpu.cli import fuse_rgbd
+    from cudadepthmapintegration_tpu.io import read_vtp
+
+    views = sphere_scene(n_views=6, width=64, height=48, focal=60.0)
+    make_tum_dir(tmp_path, views)
+    common = ["--tum", str(tmp_path), "--voxelSize", "0.1",
+              "--pixelStride", "2", "--contour", "1.0",
+              "--intrinsics", "custom",
+              "--fx", "60", "--fy", "60", "--cx", "32", "--cy", "24",
+              "--colorize"]
+    out_a = str(tmp_path / "plain.vtp")
+    out_b = str(tmp_path / "occ.vtp")
+    assert fuse_rgbd.main(common + ["--output", out_a]) == 0
+    assert fuse_rgbd.main(
+        common + ["--output", out_b, "--occlusionTol", "0.2"]
+    ) == 0
+    a = read_vtp(out_a).point_data["NbProjectedDepthMap"]
+    b = read_vtp(out_b).point_data["NbProjectedDepthMap"]
+    # Occlusion rejection can only shrink counts, and must reject
+    # something on a closed sphere (back-side views are occluded).
+    assert (b <= a).all() and b.sum() < a.sum() and b.max() >= 1
