@@ -139,6 +139,81 @@ def bench_sparse_fps(n_frames=48, width=256, height=192,
     return n_frames / dt, content
 
 
+def bench_coloration(n_target=1 << 18, nv=64, w=512, h=512, reps=3):
+    """Device-resident samples/s of the coloration gather stage, pallas vs
+    xla, on an MC-sphere vertex set (production welded order) — tracks the
+    second Mosaic kernel round-over-round, at the SAME workload as the
+    numbers in docs/KERNEL.md (242k verts x 64 views of 512^2; smaller
+    workloads under-amortize per-dispatch latency on this rig and read
+    ~3x low). Steady state: points/planes staged once, on-device checksum
+    forces completion (tunnel rig rules, docs/KERNEL.md)."""
+    from cudadepthmapintegration_tpu.kernels.coloration_pallas import (
+        _gather_colors_padded,
+        _morton_order,
+        stage_color_planes,
+    )
+    from cudadepthmapintegration_tpu.ops.coloration import _gather_chunk
+    from cudadepthmapintegration_tpu.ops.marching_cubes import marching_cubes
+
+    rng = np.random.default_rng(7)
+    dim = int(np.sqrt(n_target / 3.5))
+    ax = np.linspace(-1.2, 1.2, dim, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(ax, ax, ax, indexing="ij")
+    vol = 1.0 - np.sqrt(xx * xx + yy * yy + zz * zz)
+    pts = marching_cubes(vol, 0.0, ax, ax, ax,
+                         compute_normals=False).points.astype(np.float32)
+    views = orbit_cameras(nv, 4.0, focal=300.0, width=w, image_height=h)
+    colors = rng.integers(0, 256, (nv, h, w, 3), dtype=np.uint8)
+    proj = np.stack([(c.k4 @ c.rt)[:3, :] for c in views])
+
+    # pallas steady state (tuned defaults: sj32 wr64 k2 wc2 tb8).
+    sj, tb, n_wc, n_k, wr = 32, 8, 2, 2, 64
+    staged = stage_color_planes(colors)
+    proj12 = jnp.asarray(proj.reshape(nv, 12).astype(np.float32))
+    p = pts[_morton_order(pts)]
+    tile = sj * 128
+    pad_n = (-len(p)) % (tile * tb)
+    pts_pad = np.zeros((len(p) + pad_n, 3), np.float32)
+    pts_pad[: len(p)] = p
+    nt = len(pts_pad) // tile
+    pts_t = jnp.asarray(
+        pts_pad.reshape(nt, sj, 128, 3)
+        .transpose(0, 3, 1, 2)
+        .reshape(nt // tb, tb * 3 * sj, 128)
+    )
+    kw = dict(h=h, w=w, sj=sj, tb=tb,
+              wr=min(wr, staged.planes.shape[2]), n_wc=n_wc, n_k=n_k,
+              z_test=False)
+
+    def run_pallas():
+        return float(_gather_colors_padded(pts_t, proj12, staged.planes,
+                                           **kw).sum())
+
+    def best_of(fn):
+        fn()  # warm compile
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt_p = best_of(run_pallas)
+
+    colors_flat = jnp.asarray(colors.reshape(nv, h * w, 3))
+    proj_j = jnp.asarray(proj.astype(np.float32))
+    pts_j = jnp.asarray(pts)
+
+    def run_xla():
+        r, _ = _gather_chunk(pts_j, proj_j, colors_flat, h=h, w=w,
+                             z_test=False)
+        return float(jnp.sum(r.astype(jnp.float32)))
+
+    dt_x = best_of(run_xla)
+    n_samples = len(pts) * nv
+    return n_samples / dt_p / 1e9, n_samples / dt_x / 1e9
+
+
 def coloration_parity():
     """Per-round hardware gate for the SECOND Mosaic kernel (coloration):
     pallas and xla backends must agree bit-for-bit on mean/median/count
@@ -255,10 +330,11 @@ def main():
             file=sys.stderr,
         )
 
-    # --- coloration kernel parity gate ----------------------------------
+    # --- coloration kernel parity gate + throughput ----------------------
     color_ok = coloration_parity()
     if not color_ok:
         print("COLORATION PARITY GATE FAILED", file=sys.stderr)
+    color_gsps_p, color_gsps_x = bench_coloration()
 
     n_updates = grid512.num_cells * len(views512)
     value = n_updates / t512
@@ -273,6 +349,10 @@ def main():
                 "parity_flips": parity_flips,
                 "parity_ok": parity_ok,
                 "coloration_parity_ok": color_ok,
+                "coloration_gsps": {
+                    "pallas": round(color_gsps_p, 3),
+                    "xla": round(color_gsps_x, 3),
+                },
                 "sparse_backends_match": sparse_match,
                 "sparse_backend_rel": float(f"{sparse_rel:.3e}"),
                 "sparse_fusion_fps": round(sparse_fps, 1),

@@ -122,8 +122,10 @@ def check_marching_cubes(seed) -> list[str]:
         )
     vol = vol.transpose(2, 1, 0)  # (z, y, x)
     iso = float(rng.uniform(-0.3, 0.3))
-    a = marching_cubes(vol, iso, xs, xs, xs, backend="jax")
-    b = marching_cubes(vol, iso, xs, xs, xs, backend="native")
+    a = marching_cubes(vol, iso, xs, xs, xs, backend="jax",
+                       compute_normals=True)
+    b = marching_cubes(vol, iso, xs, xs, xs, backend="native",
+                       compute_normals=True)
     bad = []
     if a.num_points != b.num_points or a.num_triangles != b.num_triangles:
         bad.append("mc_counts")
@@ -132,6 +134,50 @@ def check_marching_cubes(seed) -> list[str]:
         and np.array_equal(a.triangles, b.triangles)
     ):
         bad.append("mc_values")
+    elif a.num_points:
+        na, nb = a.point_data["Normals"], b.point_data["Normals"]
+        if not np.array_equal(na, nb):
+            bad.append("mc_normals")  # same weld keys -> bitwise contract
+        nrm = np.linalg.norm(na, axis=1)
+        if not np.allclose(nrm[nrm > 0], 1.0, atol=1e-5):
+            bad.append("mc_normal_length")
+    return bad
+
+
+def check_occlusion(seed) -> list[str]:
+    """Occlusion-mode coloration (xla, fp64 projection) vs a direct numpy
+    restatement of the predicate: in-bounds AND depth != -1 AND
+    z <= depth + tol."""
+    from cudadepthmapintegration_tpu.core.camera import round_half_away
+    from cudadepthmapintegration_tpu.ops.coloration import colorize_points
+
+    bad = []
+    _grid, views, _params = random_scene(seed)
+    rng = np.random.default_rng(seed ^ 0x0CC1)
+    for v in views:
+        if v.color is None:
+            v.color = np.zeros(v.depth.shape + (3,), np.uint8)
+        v.color[:] = rng.integers(0, 256, v.color.shape, dtype=np.uint8)
+    pts = (rng.random((int(rng.integers(50, 400)), 3)) - 0.5) * 6.0
+    tol = float(rng.uniform(0.0, 0.5))
+    _, _, counts = colorize_points(
+        pts, views, dtype=np.float64, occlusion_tol=tol
+    )
+    h, w = views[0].depth.shape
+    exp = np.zeros(len(pts), np.int32)
+    for i, p in enumerate(pts):
+        for v in views:
+            cam = v.camera.rt[:3, :3] @ p + v.camera.rt[:3, 3]
+            hom = v.camera.k @ cam
+            u = round_half_away(hom[0] / hom[2])
+            vv = round_half_away(hom[1] / hom[2])
+            if u < 0 or vv < 0 or u >= w or vv >= h:
+                continue
+            d = np.float32(v.depth[int(vv), int(u)])
+            if d != -1.0 and hom[2] <= d + tol:
+                exp[i] += 1
+    if not np.array_equal(counts, exp):
+        bad.append("occlusion_counts")
     return bad
 
 
@@ -141,7 +187,12 @@ def main():
     failures = 0
     for i in range(n):
         seed = s0 + i
-        bad = check(seed) + check_coloration(seed) + check_marching_cubes(seed)
+        bad = (
+            check(seed)
+            + check_coloration(seed)
+            + check_marching_cubes(seed)
+            + check_occlusion(seed)
+        )
         if bad:
             failures += 1
             print(f"seed {seed}: FAIL {bad}", flush=True)
