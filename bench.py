@@ -10,7 +10,7 @@ Per round this measures, on the attached chip:
 * the XLA-lowered integrator on the same chip at the primary config — the
   ``vs_baseline`` denominator (the reference publishes no numbers:
   BASELINE.md);
-* the 5-case hardware PARITY GATE (scripts/tpu_validate.py) against the
+* the 6-case hardware PARITY GATE (scripts/tpu_validate.py) against the
   fp64 oracle — a Mosaic lowering regression fails the bench loudly
   (non-zero exit) instead of shipping a fast wrong kernel;
 * incremental sparse-fusion frame rate (BASELINE config 5 shape).

@@ -31,7 +31,7 @@ FLIP_BUDGET = 2e-4
 
 
 def parity_cases():
-    """The 5 hardware-parity geometry cases: (name, grid, views, params,
+    """The hardware-parity geometry cases: (name, grid, views, params,
     threshold_best_cost)."""
     params = RayPotential(thick=0.05, rho=0.8, eta=0.03, delta=0.2)
     views = sphere_scene(n_views=8, width=256, height=192, focal=150.0)
@@ -51,12 +51,17 @@ def parity_cases():
         dims=(129, 49, 97), origin=(-1.6, -0.9, -1.2),
         spacing=(0.025, 0.0375, 0.025),
     )
+    # Odd image dims: 600x456 is a multiple of neither 128 (lanes) nor 8
+    # (sublanes), so the kernel's depth-padding path (-1 sentinel fill +
+    # real-h/w bounds tests) is exercised, unlike the 256x192 cases.
+    views_o = sphere_scene(n_views=4, width=600, height=456, focal=350.0)
     return [
         ("64^3 x 8 orbit views", grid, views, params, None),
         ("64^3 rotated grid matrix", grid_r, views, params, None),
         ("64^3 elevated cameras", grid, views_e, params, None),
         ("anisotropic grid", grid_a, views, params, None),
         ("best-cost threshold", grid, views, params, 0.5),
+        ("odd image dims 600x456", grid, views_o, params, None),
     ]
 
 
