@@ -75,6 +75,29 @@ ROWSEL_PRECISION = jax.lax.Precision.HIGHEST
 DEPTH_VMEM_BUDGET = 8 << 20
 
 
+# Hard VMEM ceiling on the double-buffered whole-map depth block. Measured
+# on v5e (scripts/tpu_mapsize_probe.py, 2026-08-18): 800x600 split planes
+# (12.9 MiB double-buffered) compile and run; 1024x768 (18.9 MiB) fails in
+# the Mosaic allocator (opaque remote-compile 500). Checked host-side so
+# oversized maps get an actionable error instead.
+DEPTH_VMEM_CEILING = 14 << 20
+
+
+def _check_depth_vmem(h, w, hp, wp, split3):
+    planes = 3 if split3 else 1
+    need = 2 * planes * hp * wp * 4  # double-buffered fp32 block
+    if need > DEPTH_VMEM_CEILING:
+        raise ValueError(
+            f"depth maps of {h}x{w} need {need / (1 << 20):.1f} MiB of "
+            f"double-buffered VMEM (limit ~{DEPTH_VMEM_CEILING >> 20} MiB "
+            f"on v5e): the Pallas kernel stages whole maps in VMEM "
+            f"(measured ceiling: 800x600 fits, 1024x768 does not — "
+            f"docs/KERNEL.md). Use the XLA backend (backend='xla'), "
+            f"downscale the maps, or use mode='rowsel' (1 plane instead "
+            f"of 3) for sizes up to ~3x larger."
+        )
+
+
 def _round_half_away(x):
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
@@ -829,6 +852,9 @@ def pallas_integrate(
     rowsel_family = ("rowsel", "rowsel3", "rowselm", "rowsel3m")
     min_h = int(window_rows) if mode in rowsel_family else 8
     ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
+    if not INTERPRET:
+        _check_depth_vmem(h, w, h + ph, w + pw,
+                          mode in ("rowsel3", "rowsel3m"))
     on_device = isinstance(depths, jax.Array)
     if ph or pw:
         pad_fn = jnp.pad if on_device else np.pad
@@ -1037,6 +1063,9 @@ class OrientedFusionPlan:
         min_h = window_rows if mode in rowsel_family else 8
         ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
         hp, wp = h + ph, w + pw
+        if not INTERPRET:
+            _check_depth_vmem(h, w, hp, wp,
+                              mode in ("rowsel3", "rowsel3m"))
         n_wr = min(windows[0], hp // 8)
         n_wc = min(windows[1], wp // 128)
         sj = self.subtile_rows

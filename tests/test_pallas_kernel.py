@@ -357,3 +357,22 @@ def test_pallas_integrate_accepts_device_depths():
         PARAMS.thick, PARAMS.rho, PARAMS.eta, PARAMS.delta, **kw,
     ))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_depth_vmem_ceiling_guard():
+    """Oversized maps raise the actionable host-side error (the measured
+    Mosaic-allocator ceiling, docs/KERNEL.md) instead of an opaque
+    remote-compile failure."""
+    import pytest
+
+    from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
+        _check_depth_vmem,
+    )
+
+    _check_depth_vmem(600, 800, 600, 896, split3=True)  # measured OK
+    with pytest.raises(ValueError, match="VMEM"):
+        _check_depth_vmem(768, 1024, 768, 1024, split3=True)  # measured fail
+    # Single-plane rowsel admits ~3x larger maps.
+    _check_depth_vmem(768, 1024, 768, 1024, split3=False)
+    with pytest.raises(ValueError, match="VMEM"):
+        _check_depth_vmem(1536, 2048, 1536, 2048, split3=False)
