@@ -98,6 +98,32 @@ def _check_depth_vmem(h, w, hp, wp, split3):
         )
 
 
+def _vmem_safe_mode(mode, h, w, window_rows):
+    """Auto-downgrade split-plane modes to their single-plane counterpart
+    when the 3-plane block would blow the VMEM ceiling but one plane fits
+    (bit-identical results — the split only changes select-dot precision
+    plumbing; selects then run at HIGHEST). Raises via _check_depth_vmem
+    when even one plane does not fit."""
+    rowsel_family = ("rowsel", "rowsel3", "rowselm", "rowsel3m")
+    min_h = int(window_rows) if mode in rowsel_family else 8
+    hp = h + max(min_h - h, (-h) % 8)
+    wp = w + ((-w) % 128)
+    split3 = mode in ("rowsel3", "rowsel3m")
+    if split3 and 2 * 3 * hp * wp * 4 > DEPTH_VMEM_CEILING:
+        downgraded = "rowsel" if mode == "rowsel3" else "rowselm"
+        _check_depth_vmem(h, w, hp, wp, split3=False)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "depth maps %dx%d exceed the 3-plane VMEM ceiling; using "
+            "single-plane mode=%r (bit-identical, HIGHEST-precision "
+            "selects; see docs/KERNEL.md)", h, w, downgraded,
+        )
+        return downgraded
+    _check_depth_vmem(h, w, hp, wp, split3)
+    return mode
+
+
 def _round_half_away(x):
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
@@ -849,12 +875,11 @@ def pallas_integrate(
     the fp32 accumulation). Clamped to a divisor of cz and a ~4 MiB block.
     """
     h, w = int(depths.shape[1]), int(depths.shape[2])
+    if not INTERPRET:
+        mode = _vmem_safe_mode(mode, h, w, window_rows)
     rowsel_family = ("rowsel", "rowsel3", "rowselm", "rowsel3m")
     min_h = int(window_rows) if mode in rowsel_family else 8
     ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
-    if not INTERPRET:
-        _check_depth_vmem(h, w, h + ph, w + pw,
-                          mode in ("rowsel3", "rowsel3m"))
     on_device = isinstance(depths, jax.Array)
     if ph or pw:
         pad_fn = jnp.pad if on_device else np.pad
@@ -1060,12 +1085,11 @@ class OrientedFusionPlan:
         kernel layout ONCE here."""
         h, w = self._h, self._w
         rowsel_family = ("rowsel", "rowsel3", "rowselm", "rowsel3m")
+        if not INTERPRET:
+            mode = _vmem_safe_mode(mode, h, w, window_rows)
         min_h = window_rows if mode in rowsel_family else 8
         ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
         hp, wp = h + ph, w + pw
-        if not INTERPRET:
-            _check_depth_vmem(h, w, hp, wp,
-                              mode in ("rowsel3", "rowsel3m"))
         n_wr = min(windows[0], hp // 8)
         n_wc = min(windows[1], wp // 128)
         sj = self.subtile_rows

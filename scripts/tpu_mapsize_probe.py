@@ -64,6 +64,31 @@ def probe(w, h, n_views=8, reps=3, **run_kw):
               flush=True)
 
 
+def probe_downgrade_parity(w=1024, h=768, n_views=4):
+    """mode='rowsel3' auto-downgrades to 'rowsel' above the 3-plane
+    ceiling; verify it runs AND matches the XLA integrator's checksum."""
+    from cudadepthmapintegration_tpu.ops import integrate as I
+
+    grid, views, params = workload(w, h, n_views=n_views)
+    plan = OrientedFusionPlan(grid, views, params, subtile_rows=64)
+    out = plan.run(jnp.zeros(grid.volume_shape, jnp.float32),
+                   mode="rowsel3", window_rows=64, rowsel_passes=6)
+    s_pallas = float(out.sum())
+    t = I.projection_tables(grid, views, np.float32)
+    depths = np.stack([v.depth for v in views]).astype(np.float32)
+    vol = I._integrate_batched(
+        jnp.zeros(grid.volume_shape, jnp.float32),
+        *[jnp.asarray(a) for a in (t.tx, t.ty, t.tz, t.tc, depths)],
+        h=h, w=w, view_batch=4, thick=params.thick, rho=params.rho,
+        eta=params.eta, delta=params.delta,
+    )
+    s_xla = float(vol.sum())
+    rel = abs(s_pallas - s_xla) / max(abs(s_xla), 1.0)
+    tag = "OK" if rel < 1e-3 else "MISMATCH"
+    print(f"  downgrade parity @{w}x{h}: pallas {s_pallas:.6g} vs "
+          f"xla {s_xla:.6g} (rel {rel:.2e}) {tag}", flush=True)
+
+
 def main():
     print("== VGA-class sizes + wr tuning (256^3 x 8 views) ==", flush=True)
     probe(640, 480, window_rows=64)
@@ -71,8 +96,11 @@ def main():
     probe(512, 512, window_rows=64)  # bench-geometry anchor at this view count
     print("== ceiling probes ==", flush=True)
     probe(800, 600, window_rows=64)   # 5.8 MB/plane-block x2 = 11.5 MB
-    probe(1024, 768, window_rows=64)  # 9.4 MB x2 = 18.9 MB: expect OOM
-    probe(1280, 960, window_rows=64)  # 14.7 MB x2: expect OOM
+    probe(1024, 768, window_rows=64)  # auto-downgrades to rowsel (1 plane)
+    probe(1280, 960, window_rows=64)  # single-plane 9.8 MB: should run
+    probe(1600, 1200, window_rows=64)  # 15.7 MB single-plane: expect raise
+    print("== downgrade parity ==", flush=True)
+    probe_downgrade_parity()
     return 0
 
 

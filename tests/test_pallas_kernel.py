@@ -376,3 +376,23 @@ def test_depth_vmem_ceiling_guard():
     _check_depth_vmem(768, 1024, 768, 1024, split3=False)
     with pytest.raises(ValueError, match="VMEM"):
         _check_depth_vmem(1536, 2048, 1536, 2048, split3=False)
+
+
+def test_vmem_safe_mode_downgrade():
+    """Split-plane modes auto-downgrade (bit-identical single-plane
+    counterparts) when 3 planes blow the ceiling but 1 fits; raise only
+    when even 1 plane does not fit."""
+    import pytest
+
+    from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
+        _vmem_safe_mode,
+    )
+
+    assert _vmem_safe_mode("rowsel3", 480, 640, 64) == "rowsel3"
+    assert _vmem_safe_mode("rowsel3", 768, 1024, 64) == "rowsel"
+    assert _vmem_safe_mode("rowsel3m", 768, 1024, 64) == "rowselm"
+    assert _vmem_safe_mode("rowsel", 768, 1024, 64) == "rowsel"
+    with pytest.raises(ValueError, match="VMEM"):
+        _vmem_safe_mode("rowsel3", 1536, 2048, 64)
+    with pytest.raises(ValueError, match="VMEM"):
+        _vmem_safe_mode("rowsel", 1536, 2048, 64)
