@@ -100,6 +100,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Fault-tolerant fusion: checkpoint view-range units "
                         "to this file; re-running with the same path "
                         "RESUMES after a crash")
+    p.add_argument("--trace", type=str, default=None,
+                   help="Capture a jax.profiler device trace of the run "
+                        "into this directory (TensorBoard/XProf-loadable; "
+                        "the NSight counterpart, reference README:43-50)")
+    p.add_argument("--metrics", type=str, default=None,
+                   help="Write a JSON metrics report (voxel updates/s, "
+                        "views/s, HBM roofline fraction) to this path")
     p.add_argument("--mhaPath", type=str, default="meta_image_volume.mha",
                    help="Path of the always-written meta-image volume; "
                         "'' disables (reference hardcodes cwd)")
@@ -175,14 +182,31 @@ def main(argv: list[str] | None = None) -> int:
 
     pipeline = ReconstructionPipeline(config, log)
     try:
-        result = pipeline.run(
-            dataset,
-            output_mesh_path=args.outputMeshFilename,
-            output_grid_path=args.outputGridFilename,
-        )
+        import contextlib
+
+        trace_ctx = contextlib.nullcontext()
+        if args.trace:
+            from ..utils.profiling import trace
+
+            trace_ctx = trace(args.trace)
+        with trace_ctx:
+            result = pipeline.run(
+                dataset,
+                output_mesh_path=args.outputMeshFilename,
+                output_grid_path=args.outputGridFilename,
+            )
     except ValueError as e:
         print(f"Error : {e}", file=sys.stderr)
         return 1
+
+    if args.metrics:
+        from ..utils.profiling import FusionMetrics
+
+        m = FusionMetrics(seconds=result.execution_time)
+        m.add_fusion(result.grid.num_cells, result.views_fused)
+        with open(args.metrics, "w") as f:
+            f.write(m.json() + "\n")
+        log.info(f"** Metrics written to {args.metrics}")
 
     if args.summary:
         summary_path = os.path.join(args.dataFolder, "summary.txt")
