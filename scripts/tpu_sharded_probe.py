@@ -1,0 +1,130 @@
+"""TPU probe: per-shard (z-slab) Pallas fusion throughput on ONE chip.
+
+The sharded design's ≥80% scaling claim reduces to: a z-slab shard
+sustains (close to) the full-grid per-chip update rate, for good AND
+adversarial rigs. A pod isn't needed to measure the per-shard kernel —
+run the REAL sharded code path (ShardedTSDFIntegrator.integrate_pallas,
+shard_map, k pinned to z, free-axes orientation grouping) on a 1-device
+mesh with a slab-shaped grid (512x512x64 cells = one P=8 shard of the
+bench 512^3), and compare against:
+
+  * the full-grid single-chip plan (the bench baseline, free k choice);
+  * the plain plan on the same slab (free k choice — isolates the cost
+    of the sharding's pinned k=z from slab-size amortization effects);
+
+for two rigs: the bench equatorial orbit (cameras look ACROSS z — the
+favorable case for k=z) and an adversarial top-down ring (cameras look
+ALONG z: neither free axis tracks the viewing direction; docs/SCALING.md
+calls this the worst case and says to shard the axis cameras look along
+least).
+
+One process (tunnel discipline, CLAUDE.md).
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax.numpy as jnp
+import numpy as np
+
+from cudadepthmapintegration_tpu.core import RayPotential, VoxelGrid
+from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
+    OrientedFusionPlan,
+)
+from cudadepthmapintegration_tpu.parallel import (
+    ShardedTSDFIntegrator,
+    make_mesh,
+)
+from cudadepthmapintegration_tpu.testing import (
+    orbit_cameras,
+    render_sphere_view,
+)
+
+N_VIEWS = 32
+W = H = 512
+PARAMS = RayPotential(thick=0.025, rho=0.8, eta=0.03, delta=0.1)
+KW = dict(mode="rowsel", window_rows=64, rowsel_passes=6, subtile_rows=64)
+
+
+def rigs():
+    eq = orbit_cameras(N_VIEWS, 4.0, focal=300.0, width=W, image_height=H)
+    # Top-down ring: small radius, high above -> view dir ~ -z.
+    td = orbit_cameras(N_VIEWS, 0.8, height=4.0, focal=300.0,
+                       width=W, image_height=H)
+    return {"equatorial": eq, "top-down": td}
+
+
+def full_grid():
+    return VoxelGrid(dims=(513,) * 3, origin=(-1.6,) * 3,
+                     spacing=(3.2 / 512,) * 3)
+
+
+def slab_grid():
+    # The middle P=8 slab of the 512^3 grid (cz = 64 cells).
+    return VoxelGrid(dims=(513, 513, 65), origin=(-1.6, -1.6, -0.2),
+                     spacing=(3.2 / 512,) * 3)
+
+
+def time_plan(grid, views):
+    plan = OrientedFusionPlan(grid, views, PARAMS,
+                              subtile_rows=KW["subtile_rows"])
+    kw = {k: v for k, v in KW.items() if k != "subtile_rows"}
+    checksum = float(
+        plan.run(jnp.zeros(grid.volume_shape, jnp.float32), **kw).sum()
+    )
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        checksum = float(
+            plan.run(jnp.zeros(grid.volume_shape, jnp.float32), **kw).sum()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return grid.num_cells * len(views) / best, checksum
+
+
+def time_sharded(grid, views):
+    mesh = make_mesh(n_z=1, n_v=1)
+    intg = ShardedTSDFIntegrator(grid, PARAMS, mesh, dtype=np.float32)
+    kw = {k: v for k, v in KW.items()}
+
+    def run():
+        intg.reset()
+        intg.integrate_pallas(views, **kw)
+        return float(jnp.sum(intg.volume))
+
+    checksum = run()
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        checksum = run()
+        best = min(best, time.perf_counter() - t0)
+    return grid.num_cells * len(views) / best, checksum
+
+
+def main():
+    full = full_grid()
+    slab = slab_grid()
+    for rig_name, cams in rigs().items():
+        views = [render_sphere_view(c, W, H, radius=1.0, background=-1.0)
+                 for c in cams]
+        print(f"== rig: {rig_name} (rowsel k6, {N_VIEWS} views) ==",
+              flush=True)
+        for label, fn, grid in (
+            ("full 512^3, plain plan   ", time_plan, full),
+            ("slab 512x512x64, plain   ", time_plan, slab),
+            ("slab 512x512x64, SHARDED ", time_sharded, slab),
+        ):
+            try:
+                ups, checksum = fn(grid, views)
+                print(f"  {label}: {ups / 1e9:6.2f} G upd/s "
+                      f"(checksum {checksum:.6g})", flush=True)
+            except Exception as e:
+                print(f"  {label}: FAILED [{type(e).__name__}] "
+                      f"{str(e)[:140]}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
