@@ -93,17 +93,27 @@ class ShardedTSDFIntegrator:
         self.vol_sharding = NamedSharding(mesh, P("z", None, None))
         self.volume = None
         self.views_fused = 0
-        # Jitted shard_map steps of the Pallas path, keyed by
-        # (transposed, pad, tunables) — reused across view batches.
+        # Jitted shard_map steps of the Pallas path, keyed by the per-group
+        # layout signature + tunables — reused across view batches.
         self._pallas_steps: dict = {}
+        self._zeros = None  # cached jitted sharded-zeros initializer
 
     def reset(self, initial: np.ndarray | None = None):
-        vol = (
-            np.zeros(self.grid.volume_shape, self.dtype)
-            if initial is None
-            else np.asarray(initial, self.dtype)
-        )
-        self.volume = jax.device_put(vol, self.vol_sharding)
+        if initial is None:
+            # Fill on device (sharded): a host np.zeros would ship the whole
+            # volume through the host link on every reset (64 MB at 512^3
+            # slab scale — seconds on a thin control plane, and pure waste).
+            if self._zeros is None:
+                shape, dtype = self.grid.volume_shape, self.dtype
+                self._zeros = jax.jit(
+                    lambda: jnp.zeros(shape, dtype),
+                    out_shardings=self.vol_sharding,
+                )
+            self.volume = self._zeros()
+        else:
+            self.volume = jax.device_put(
+                np.asarray(initial, self.dtype), self.vol_sharding
+            )
         self.views_fused = 0
         return self
 
@@ -232,8 +242,9 @@ class ShardedTSDFIntegrator:
         z_block: int = 1,
     ):
         """Stage one view batch for spatially-sharded Pallas fusion:
-        returns ``[(jitted_step, device_args)]`` per orientation group
-        (tables/depths uploaded, steps cached across batches).
+        returns ``(jitted_step, device_args)`` — ONE donated shard_map
+        dispatch chaining every orientation group (tables/depths uploaded
+        here; the jitted step is cached across batches).
 
         Each device runs the TPU integrate kernel on its own z-slab
         (`shard_map`; no collectives — same ownership argument as
@@ -308,7 +319,9 @@ class ShardedTSDFIntegrator:
             return np.concatenate([tab, pad], axis=2)
 
         repl = NamedSharding(mesh, P())
-        staged = []
+        tz_sh = NamedSharding(mesh, P(None, None, "z"))
+        metas = []
+        group_args = []
         for transposed, idxs in sorted(groups.items()):
             sel = np.asarray(idxs)
             # Lane/sublane cell extents for this group's layout.
@@ -318,24 +331,35 @@ class ShardedTSDFIntegrator:
             tab_lane = t.ty if transposed else t.tx
             tx_g = pad_axis_table(tab_lane[sel], cxl + px)
             ty_g = pad_axis_table(tab_sub[sel], cyl + py)
+            metas.append((transposed, py, px))
+            group_args.append((
+                jax.device_put(t.tz[sel], tz_sh),
+                jax.device_put(tx_g, repl),
+                jax.device_put(ty_g, repl),
+                jax.device_put(t.tc[sel], repl),
+                jax.device_put(depths_all[sel], repl),
+            ))
 
-            # Cache the jitted shard_map step per (layout, tunables): a
-            # fresh closure per call would rebuild the jit wrapper and
-            # re-trace every batch.
-            key = (transposed, py, px, tuple(sorted(kernel_kw.items())))
-            step = self._pallas_steps.get(key)
-            if step is None:
+        # ONE donated jit dispatch chaining every group (mirrors
+        # OrientedFusionPlan._build_runner: the per-group eager step version
+        # re-entered jit per group, held two full volume buffers alive, and
+        # cost ~1 s/batch of pure dispatch overhead on a high-RTT control
+        # plane). Cached per (group-layout signature, tunables) — the chain
+        # re-traces only when the rig's orientation split changes.
+        key = (tuple(metas), tuple(sorted(kernel_kw.items())))
+        step = self._pallas_steps.get(key)
+        if step is None:
 
-                def body(vol_shard, tz_shard, tx_, ty_, tc_, depths_,
-                         transposed=transposed, py=py, px=px):
+            def chain(vol_shard, groups_arrs):
+                for (transposed, py, px), arrs in zip(metas, groups_arrs):
+                    tz_, tx_, ty_, tc_, depths_ = arrs
+                    v = vol_shard
                     if transposed:
-                        vol_shard = jnp.transpose(vol_shard, (0, 2, 1))
+                        v = jnp.transpose(v, (0, 2, 1))
                     if py or px:
-                        vol_shard = jnp.pad(
-                            vol_shard, ((0, 0), (0, py), (0, px))
-                        )
+                        v = jnp.pad(v, ((0, 0), (0, py), (0, px)))
                     out = pallas_integrate(
-                        vol_shard, tx_, ty_, tz_shard, tc_, depths_,
+                        v, tx_, ty_, tz_, tc_, depths_,
                         params.thick, params.rho, params.eta, params.delta,
                         **kernel_kw,
                     )
@@ -343,47 +367,40 @@ class ShardedTSDFIntegrator:
                               : (cy if transposed else cx)]
                     if transposed:
                         out = jnp.transpose(out, (0, 2, 1))
-                    return out
+                    vol_shard = out
+                return vol_shard
 
-                step = jax.jit(
-                    jax.shard_map(
-                        body,
-                        mesh=mesh,
-                        in_specs=(
-                            P("z", None, None),
-                            P(None, None, "z"),
-                            P(), P(), P(), P(),
+            step = jax.jit(
+                jax.shard_map(
+                    chain,
+                    mesh=mesh,
+                    in_specs=(
+                        P("z", None, None),
+                        tuple(
+                            (P(None, None, "z"), P(), P(), P(), P())
+                            for _ in metas
                         ),
-                        out_specs=P("z", None, None),
-                        # pallas_call's out_shape carries no vma annotation;
-                        # the body is communication-free, so skip the vma
-                        # check.
-                        check_vma=False,
-                    )
-                )
-                self._pallas_steps[key] = step
-            staged.append((
-                step,
-                (
-                    jax.device_put(
-                        t.tz[sel], NamedSharding(mesh, P(None, None, "z"))
                     ),
-                    jax.device_put(tx_g, repl),
-                    jax.device_put(ty_g, repl),
-                    jax.device_put(t.tc[sel], repl),
-                    jax.device_put(depths_all[sel], repl),
+                    out_specs=P("z", None, None),
+                    # pallas_call's out_shape carries no vma annotation;
+                    # the body is communication-free, so skip the vma
+                    # check.
+                    check_vma=False,
                 ),
-            ))
-        return staged
+                donate_argnums=(0,),
+            )
+            self._pallas_steps[key] = step
+        return step, tuple(group_args)
 
     def run_staged_pallas(self, staged) -> "ShardedTSDFIntegrator":
-        """Execute pre-staged group steps (from :meth:`stage_pallas_views`)
+        """Execute a pre-staged batch (from :meth:`stage_pallas_views`)
         against the current volume — the device-resident steady state
-        (benchmarking; or re-fusing the same batch into several volumes)."""
+        (benchmarking; or re-fusing the same batch into several volumes).
+        The current volume buffer is DONATED to the step."""
         if self.volume is None:
             self.reset()
-        for step, args in staged:
-            self.volume = step(self.volume, *args)
+        step, args = staged
+        self.volume = step(self.volume, args)
         return self
 
     def result(self) -> np.ndarray:

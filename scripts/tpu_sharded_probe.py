@@ -88,6 +88,9 @@ def time_sharded(grid, views):
     # Steady state: stage once (tables/depths device-resident — on a real
     # VM the per-batch upload is sub-ms; on this rig's 6 MB/s tunnel it
     # would read as a 27x slowdown and measure the tunnel, not the kernel).
+    # reset() fills zeros ON DEVICE (sharded), so keeping it inside the
+    # timed loop costs a fill, not a host upload; the step donates the
+    # volume so each rep needs the fresh buffer anyway.
     mesh = make_mesh(n_z=1, n_v=1)
     intg = ShardedTSDFIntegrator(grid, PARAMS, mesh, dtype=np.float32)
     staged = intg.stage_pallas_views(views, **KW)
