@@ -7,6 +7,7 @@ from .rig import (
     best_shard_grid_axis,
     grid_for_sharding,
     permute_grid_axes,
+    permute_volume,
     unpermute_volume,
 )
 from .sharded_coloration import sharded_colorize_points
@@ -21,6 +22,7 @@ __all__ = [
     "grid_for_sharding",
     "make_mesh",
     "permute_grid_axes",
+    "permute_volume",
     "sharded_cell_to_point",
     "sharded_colorize_points",
     "sharded_extract_isosurface",

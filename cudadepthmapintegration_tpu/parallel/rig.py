@@ -28,6 +28,7 @@ from ..core.grid import VoxelGrid
 __all__ = [
     "best_shard_grid_axis",
     "permute_grid_axes",
+    "permute_volume",
     "unpermute_volume",
     "grid_for_sharding",
 ]
@@ -70,6 +71,16 @@ def permute_grid_axes(grid: VoxelGrid, perm: tuple[int, int, int]) -> VoxelGrid:
         spacing=tuple(grid.spacing[a] for a in perm),
         matrix=grid.matrix @ p4,
     )
+
+
+def permute_volume(volume, perm: tuple[int, int, int]):
+    """Transpose a canonical (z, y, x) volume into the layout of the grid
+    permuted by ``perm`` (inverse of :func:`unpermute_volume`) — e.g. to
+    seed a resume volume into a permuted-grid integrator."""
+    # New volume axis i holds old grid axis perm[2-i]; the original volume
+    # keeps old grid axis a on volume axis 2-a.
+    order = tuple(2 - perm[2 - i] for i in range(3))
+    return volume.transpose(order)
 
 
 def unpermute_volume(volume, perm: tuple[int, int, int]):

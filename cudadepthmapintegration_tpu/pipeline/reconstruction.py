@@ -121,12 +121,25 @@ class ReconstructionPipeline:
         config: ReconstructionConfig,
         log: Log | None = None,
         mesh=None,
+        shard_axis: str = "z",
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'z' axis — fusion then
-        runs z-slab-sharded across its devices (parallel/sharded_integrate)."""
+        runs z-slab-sharded across its devices (parallel/sharded_integrate).
+
+        `shard_axis`: 'z' (default) slices the grid's native z axis;
+        'auto' relabels the grid so the slab sharding cuts the axis the
+        cameras look along LEAST (docs/SCALING.md: rigs looking along the
+        sharded axis lose ~22% of kernel rate). The relabeling is an exact
+        permutation — results are bit-identical, returned in the canonical
+        layout either way. Requires a mesh and a materializable view
+        sequence; does not compose with `checkpoint_path` (checkpoints
+        store canonical-layout volumes)."""
+        if shard_axis not in ("z", "auto"):
+            raise ValueError(f"shard_axis must be 'z' or 'auto', got {shard_axis!r}")
         self.config = config
         self.log = log or Log(verbose=False)
         self.mesh = mesh
+        self.shard_axis = shard_axis
 
     def _print_parameters(self, grid: VoxelGrid) -> None:
         """Verbose parameter dump (``ShowFilledParameters``, main.cxx:396-454)."""
@@ -166,14 +179,38 @@ class ReconstructionPipeline:
         params = cfg.ray_potential()
         self._print_parameters(grid)
         if self.mesh is not None:
+            from ..parallel.rig import (
+                grid_for_sharding,
+                permute_volume,
+                unpermute_volume,
+            )
             from ..parallel.sharded_integrate import ShardedTSDFIntegrator
 
+            fuse_grid, perm = grid, (0, 1, 2)
+            if self.shard_axis == "auto":
+                if cfg.checkpoint_path is not None:
+                    raise ValueError(
+                        "shard_axis='auto' does not compose with "
+                        "checkpoint_path (checkpoints are canonical-layout)"
+                    )
+                views = views if hasattr(views, "__getitem__") else list(views)
+                fuse_grid, perm = grid_for_sharding(grid, views)
+            init = initial
+            if perm != (0, 1, 2) and initial is not None:
+                init = permute_volume(np.asarray(initial), perm)
             sharded = ShardedTSDFIntegrator(
-                grid, params, self.mesh, dtype=np.dtype(cfg.dtype)
-            ).reset(initial)
+                fuse_grid, params, self.mesh, dtype=np.dtype(cfg.dtype)
+            ).reset(init)
             if cfg.backend == "pallas":
                 # Route batches through the per-shard Pallas kernel.
                 sharded.integrate = sharded.integrate_pallas  # type: ignore[assignment]
+            if perm != (0, 1, 2):
+                raw_result = sharded.result
+                sharded.result = (  # type: ignore[assignment]
+                    lambda: np.ascontiguousarray(
+                        unpermute_volume(raw_result(), perm)
+                    )
+                )
             integrator = sharded
         else:
             integrator = TSDFIntegrator(

@@ -80,6 +80,40 @@ def test_permuted_fusion_bit_identical(perm):
     assert np.array_equal(unpermute_volume(pv, perm), base)
 
 
+def test_permute_unpermute_roundtrip():
+    vol = np.arange(2 * 3 * 4, dtype=np.float64).reshape(2, 3, 4)
+    from cudadepthmapintegration_tpu.parallel import permute_volume
+    for perm in [(1, 0, 2), (2, 1, 0), (1, 2, 0), (2, 0, 1)]:
+        assert np.array_equal(
+            unpermute_volume(permute_volume(vol, perm), perm), vol
+        )
+
+
+def test_pipeline_shard_axis_auto_topdown():
+    # End-to-end: sharded pipeline with shard_axis='auto' on a top-down rig
+    # returns the canonical-layout volume, matching the plain pipeline.
+    from cudadepthmapintegration_tpu.pipeline import (
+        ReconstructionConfig,
+        ReconstructionPipeline,
+    )
+
+    cfg = ReconstructionConfig(
+        grid_dims=(17, 17, 17),
+        grid_spacing=(0.2, 0.2, 0.2),
+        grid_origin=(-1.6, -1.6, -1.6),
+        ray_thick=0.1, ray_rho=0.8, ray_eta=0.03, ray_delta=0.3,
+        contour_value=1.0, dtype="float64", write_mha_path=None,
+    )
+    views = _views(orbit_cameras(4, 0.5, height=4.0, focal=60.0,
+                                 width=W, image_height=H))
+    base = ReconstructionPipeline(cfg).run(views)
+    auto = ReconstructionPipeline(
+        cfg, mesh=make_mesh(), shard_axis="auto"
+    ).run(views)
+    np.testing.assert_allclose(auto.volume, base.volume, rtol=0, atol=0)
+    assert auto.volume.shape == base.volume.shape
+
+
 def test_grid_for_sharding_topdown_sharded_matches():
     # Top-down rig: grid_for_sharding must move an in-plane axis to z and
     # the SHARDED fusion on the permuted grid must reproduce the canonical
