@@ -109,6 +109,21 @@ def time_sharded(grid, views):
     return grid.num_cells * len(views) / best, checksum
 
 
+def auto_slab(views):
+    """P=8-shaped z'-slab of the FULL grid relabeled by grid_for_sharding:
+    the mitigation path for rigs looking along z (docs/SCALING.md)."""
+    from cudadepthmapintegration_tpu.parallel import grid_for_sharding
+
+    pg, perm = grid_for_sharding(full_grid(), views)
+    if perm == (0, 1, 2):
+        return None  # rig already z-friendly; nothing to measure
+    # Middle 64-cell z'-slab of the permuted cube (513^3 stays a cube).
+    o = list(pg.origin)
+    o[2] = -0.2
+    return VoxelGrid(dims=(513, 513, 65), origin=tuple(o),
+                     spacing=pg.spacing, matrix=pg.matrix)
+
+
 def main():
     full = full_grid()
     slab = slab_grid()
@@ -117,11 +132,15 @@ def main():
                  for c in cams]
         print(f"== rig: {rig_name} (rowsel k6, {N_VIEWS} views) ==",
               flush=True)
-        for label, fn, grid in (
+        rows = [
             ("full 512^3, plain plan   ", time_plan, full),
             ("slab 512x512x64, plain   ", time_plan, slab),
             ("slab 512x512x64, SHARDED ", time_sharded, slab),
-        ):
+        ]
+        aslab = auto_slab(views)
+        if aslab is not None:
+            rows.append(("slab AUTO-axis, SHARDED  ", time_sharded, aslab))
+        for label, fn, grid in rows:
             try:
                 ups, checksum = fn(grid, views)
                 print(f"  {label}: {ups / 1e9:6.2f} G upd/s "
