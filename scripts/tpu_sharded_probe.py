@@ -38,6 +38,7 @@ from cudadepthmapintegration_tpu.parallel import (
     make_mesh,
 )
 from cudadepthmapintegration_tpu.testing import (
+    look_at_camera,
     orbit_cameras,
     render_sphere_view,
 )
@@ -50,10 +51,27 @@ KW = dict(mode="rowsel", window_rows=64, rowsel_passes=6, subtile_rows=64)
 
 def rigs():
     eq = orbit_cameras(N_VIEWS, 4.0, focal=300.0, width=W, image_height=H)
-    # Top-down ring: small radius, high above -> view dir ~ -z.
+    # Top-down ring: small radius, high above -> view dir ~ -z, but u
+    # sweeps every in-plane direction over the ring.
     td = orbit_cameras(N_VIEWS, 0.8, height=4.0, focal=300.0,
                        width=W, image_height=H)
-    return {"equatorial": eq, "top-down": td}
+    # Straight-down SCAN: translated cameras with IDENTICAL orientation
+    # (a mapping rig) — the case grid_for_sharding fully recovers, since
+    # one global k suits every view.
+    side = int(np.ceil(np.sqrt(N_VIEWS)))
+    scan = [
+        look_at_camera(
+            (-0.5 + (i % side) / max(side - 1, 1),
+             -0.5 + (i // side) / max(side - 1, 1),
+             4.0),
+            (-0.5 + (i % side) / max(side - 1, 1),
+             -0.5 + (i // side) / max(side - 1, 1),
+             0.0),
+            focal=300.0, width=W, height=H,
+        )
+        for i in range(N_VIEWS)
+    ]
+    return {"equatorial": eq, "top-down": td, "down-scan": scan}
 
 
 def full_grid():
@@ -125,9 +143,12 @@ def auto_slab(views):
 
 
 def main():
+    only = set(sys.argv[1:])  # optional rig-name filter
     full = full_grid()
     slab = slab_grid()
     for rig_name, cams in rigs().items():
+        if only and rig_name not in only:
+            continue
         views = [render_sphere_view(c, W, H, radius=1.0, background=-1.0)
                  for c in cams]
         print(f"== rig: {rig_name} (rowsel k6, {N_VIEWS} views) ==",
