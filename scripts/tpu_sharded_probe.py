@@ -102,7 +102,7 @@ def time_plan(grid, views):
     return grid.num_cells * len(views) / best, checksum
 
 
-def time_sharded(grid, views):
+def time_sharded(grid, views, kw=KW):
     # Steady state: stage once (tables/depths device-resident — on a real
     # VM the per-batch upload is sub-ms; on this rig's 6 MB/s tunnel it
     # would read as a 27x slowdown and measure the tunnel, not the kernel).
@@ -111,7 +111,7 @@ def time_sharded(grid, views):
     # volume so each rep needs the fresh buffer anyway.
     mesh = make_mesh(n_z=1, n_v=1)
     intg = ShardedTSDFIntegrator(grid, PARAMS, mesh, dtype=np.float32)
-    staged = intg.stage_pallas_views(views, **KW)
+    staged = intg.stage_pallas_views(views, **kw)
 
     def run():
         intg.reset()
@@ -153,10 +153,13 @@ def main():
                  for c in cams]
         print(f"== rig: {rig_name} (rowsel k6, {N_VIEWS} views) ==",
               flush=True)
+        kw3 = dict(KW, mode="rowsel3")
         rows = [
             ("full 512^3, plain plan   ", time_plan, full),
             ("slab 512x512x64, plain   ", time_plan, slab),
             ("slab 512x512x64, SHARDED ", time_sharded, slab),
+            ("slab SHARDED rowsel3     ",
+             lambda g, v: time_sharded(g, v, kw3), slab),
         ]
         aslab = auto_slab(views)
         if aslab is not None:

@@ -38,6 +38,19 @@ def test_sharded_pallas_z_block_identical():
     np.testing.assert_array_equal(a.result(), b.result())
 
 
+def test_sharded_pallas_rowsel3_identical():
+    """rowsel3's on-device 3-plane split runs inside the shard_map chain,
+    bit-identical to rowsel (split planes reconstruct fp32 exactly)."""
+    views = sphere_scene(n_views=4, width=144, height=64, focal=60.0)
+    grid = VoxelGrid(dims=(17, 17, 17), origin=(-1.6,) * 3, spacing=(0.2,) * 3)
+    mesh = make_mesh(n_z=4)
+    a = ShardedTSDFIntegrator(grid, PARAMS, mesh, dtype=np.float32)
+    a.reset().integrate_pallas(views)
+    b = ShardedTSDFIntegrator(grid, PARAMS, mesh, dtype=np.float32)
+    b.reset().integrate_pallas(views, mode="rowsel3")
+    np.testing.assert_array_equal(a.result(), b.result())
+
+
 def test_sharded_pallas_incremental():
     views = sphere_scene(n_views=4, width=144, height=64, focal=60.0)
     grid = VoxelGrid(dims=(17, 17, 17), origin=(-1.6,) * 3, spacing=(0.2,) * 3)
