@@ -104,6 +104,43 @@ def bench_xla(grid, views, params, reps=1):
     return dt, checksum
 
 
+def bench_sharded_slab(views, params, reps=3):
+    """Per-shard steady-state rate on a P=8-shaped z-slab (512x512x64
+    cells) of the 512^3 grid through the REAL sharded path — shard_map on
+    a 1-device mesh, k pinned to z, one donated chain dispatch
+    (docs/SCALING.md table). rowsel3's in-chain exact split is gated
+    BITWISE against rowsel, pinning the sharded lowering each round."""
+    from cudadepthmapintegration_tpu.parallel import (
+        ShardedTSDFIntegrator,
+        make_mesh,
+    )
+
+    slab = VoxelGrid(dims=(513, 513, 65), origin=(-1.6, -1.6, -0.2),
+                     spacing=(3.2 / 512,) * 3)
+    mesh = make_mesh(n_z=1, n_v=1)
+    base_kw = dict(KERNEL_RUN_KW, **KERNEL_PLAN_KW)
+    vols = {}
+    rate = 0.0
+    for m in ("rowsel", "rowsel3"):
+        intg = ShardedTSDFIntegrator(slab, params, mesh, dtype=np.float32)
+        staged = intg.stage_pallas_views(views, **dict(base_kw, mode=m))
+        intg.reset()
+        intg.run_staged_pallas(staged)
+        float(jnp.sum(intg.volume))  # warm + force
+        if m == "rowsel3":
+            times = []
+            for _ in range(reps):
+                intg.reset()
+                t0 = time.perf_counter()
+                intg.run_staged_pallas(staged)
+                float(jnp.sum(intg.volume))
+                times.append(time.perf_counter() - t0)
+            rate = slab.num_cells * len(views) / min(times)
+        vols[m] = intg.volume
+    match = bool(jnp.array_equal(vols["rowsel"], vols["rowsel3"]))
+    return rate / 1e9, match
+
+
 def bench_sparse_fps(n_frames=48, width=256, height=192,
                      gather_backend="auto"):
     """Steady-state incremental sparse fusion rate: the first full orbit
@@ -301,6 +338,12 @@ def main():
         print("PARITY GATE FAILED — details:", file=sys.stderr)
         tpu_validate.run_parity(verbose=True, **KERNEL_PLAN_KW, **KERNEL_RUN_KW)
 
+    # --- per-shard sharded rate + in-chain split gate -------------------
+    sharded_gups, sharded_match = bench_sharded_slab(views512, params512)
+    if not sharded_match:
+        print("SHARDED SPLIT GATE FAILED (rowsel3 != rowsel in shard_map)",
+              file=sys.stderr)
+
     # --- sparse incremental fps (both gather backends) -----------------
     sparse_fps_pallas, content_sp = bench_sparse_fps(gather_backend="pallas")
     sparse_fps_xla, content_sx = bench_sparse_fps(gather_backend="xla")
@@ -353,6 +396,8 @@ def main():
                     "pallas": round(color_gsps_p, 3),
                     "xla": round(color_gsps_x, 3),
                 },
+                "sharded_slab_gups": round(sharded_gups, 3),
+                "sharded_split_match": sharded_match,
                 "sparse_backends_match": sparse_match,
                 "sparse_backend_rel": float(f"{sparse_rel:.3e}"),
                 "sparse_fusion_fps": round(sparse_fps, 1),
@@ -371,7 +416,8 @@ def main():
             }
         )
     )
-    return 0 if (parity_ok and color_ok and sparse_rel_ok) else 1
+    return 0 if (parity_ok and color_ok and sparse_rel_ok
+                 and sharded_match) else 1
 
 
 if __name__ == "__main__":

@@ -665,10 +665,21 @@ def split_depth_planes(depths):
     device-resident pipelines (e.g. scripts/capstone_1024.py renders depth
     maps on-chip) must never round-trip through the host."""
     if isinstance(depths, jax.Array):
+        # The barriers are LOAD-BEARING under jit: XLA's excess-precision
+        # simplification cancels convert(f32->bf16->f32) pairs, which would
+        # collapse the split (hi == d, mid == lo == 0) and silently hand
+        # the kernel's DEFAULT-precision dots a truncating bf16 input.
+        # Measured on v5e: the sharded in-chain split diverged (checksum
+        # 127729 vs 121116) until cut; bench.py's sharded_split_match
+        # gate pins it bitwise every round.
         d = depths.astype(jnp.float32)
-        hi = d.astype(jnp.bfloat16).astype(jnp.float32)
+        hi = jax.lax.optimization_barrier(
+            d.astype(jnp.bfloat16)
+        ).astype(jnp.float32)
         r = d - hi
-        mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+        mid = jax.lax.optimization_barrier(
+            r.astype(jnp.bfloat16)
+        ).astype(jnp.float32)
         return jnp.stack([hi, mid, r - mid], axis=-3)
     import ml_dtypes
 
