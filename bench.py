@@ -188,6 +188,7 @@ def bench_coloration(n_target=1 << 18, nv=64, w=512, h=512, reps=3):
         _gather_colors_padded,
         _morton_order,
         stage_color_planes,
+        stage_point_tiles,
     )
     from cudadepthmapintegration_tpu.ops.coloration import _gather_chunk
     from cudadepthmapintegration_tpu.ops.marching_cubes import marching_cubes
@@ -207,17 +208,11 @@ def bench_coloration(n_target=1 << 18, nv=64, w=512, h=512, reps=3):
     sj, tb, n_wc, n_k, wr = 32, 8, 2, 2, 64
     staged = stage_color_planes(colors)
     proj12 = jnp.asarray(proj.reshape(nv, 12).astype(np.float32))
-    p = pts[_morton_order(pts)]
-    tile = sj * 128
-    pad_n = (-len(p)) % (tile * tb)
-    pts_pad = np.zeros((len(p) + pad_n, 3), np.float32)
-    pts_pad[: len(p)] = p
-    nt = len(pts_pad) // tile
-    pts_t = jnp.asarray(
-        pts_pad.reshape(nt, sj, 128, 3)
-        .transpose(0, 3, 1, 2)
-        .reshape(nt // tb, tb * 3 * sj, 128)
-    )
+    # Operand packing comes from the kernel module itself (single source
+    # of the tile layout), so a kernel layout change cannot leave this
+    # bench timing a kernel that gathers garbage.
+    pts_t, _nt = stage_point_tiles(pts[_morton_order(pts)], sj=sj,
+                                   tile_block=tb)
     kw = dict(h=h, w=w, sj=sj, tb=tb,
               wr=min(wr, staged.planes.shape[2]), n_wc=n_wc, n_k=n_k,
               z_test=False)

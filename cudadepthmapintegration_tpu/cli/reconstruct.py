@@ -203,7 +203,13 @@ def main(argv: list[str] | None = None) -> int:
         from ..utils.profiling import FusionMetrics
 
         m = FusionMetrics(seconds=result.execution_time)
-        m.add_fusion(result.grid.num_cells, result.views_fused)
+        # The integrator reads+writes the volume once per staged batch
+        # (views within a batch accumulate in VMEM) — count every sweep,
+        # or the roofline fraction understates by the batch count.
+        # Orientation-group re-dispatches add sweeps beyond this minimum.
+        sweeps = max(1, -(-result.views_fused // config.stream_batch))
+        m.add_fusion(result.grid.num_cells, result.views_fused,
+                     passes=sweeps)
         with open(args.metrics, "w") as f:
             f.write(m.json() + "\n")
         log.info(f"** Metrics written to {args.metrics}")

@@ -87,6 +87,14 @@ class DepthMapDataset(Sequence):
         for i in range(len(self)):
             yield self[i]
 
+    def camera(self, i: int) -> Camera:
+        """Camera from the krtd file alone (no depth-map decode) — cheap
+        rig-geometry access for ``parallel.rig.rig_cameras``."""
+        return read_krtd(self.krtd_paths[i])
+
+    def cameras(self) -> list[Camera]:
+        return [self.camera(i) for i in range(len(self))]
+
     @staticmethod
     def from_folder(
         data_folder: str,

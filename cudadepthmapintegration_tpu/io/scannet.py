@@ -201,6 +201,18 @@ class ScanNetSensDataset:
 
         return np.asarray(Image.open(_io.BytesIO(data)).convert("RGB"))
 
+    def camera(self, i: int) -> Camera:
+        """Frame depth-camera from the header pose alone (no payload
+        read) — cheap rig-geometry access for ``parallel.rig.rig_cameras``."""
+        pose_cw = self._frames[i][0]
+        return Camera(
+            k=self.intrinsic_depth[:3, :3],
+            rt=_rigid_inverse(pose_cw @ self.extrinsic_depth),
+        )
+
+    def cameras(self):
+        return [self.camera(i) for i in range(len(self))]
+
     def __getitem__(self, i: int) -> DepthMapView:
         pose_cw, c_off, c_len, d_off, d_len = self._frames[i]
         with open(self.path, "rb") as f:
@@ -222,13 +234,11 @@ class ScanNetSensDataset:
                 np.arange(depth.shape[1]) * color.shape[1] // depth.shape[1]
             )
             color = color[np.ix_(ys, xs)]
-        k = self.intrinsic_depth[:3, :3]
         # world -> depth camera; composes extrinsic_depth (identity in
         # released ScanNet scans, kept for format generality).
-        rt = _rigid_inverse(pose_cw @ self.extrinsic_depth)
         return DepthMapView(
             depth=depth,
-            camera=Camera(k=k, rt=rt),
+            camera=self.camera(i),
             color=color,
             name=f"{os.path.basename(self.path)}[{i}]",
         )

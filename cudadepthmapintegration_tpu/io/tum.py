@@ -138,6 +138,19 @@ class TUMDataset:
     def __len__(self) -> int:
         return len(self.frames)
 
+    def camera(self, i: int) -> Camera:
+        """Frame camera from pose + intrinsics alone (no image decode) —
+        cheap rig-geometry access for ``parallel.rig.rig_cameras``."""
+        tx, ty, tz, qx, qy, qz, qw = self.frames[i]["pose"]
+        r_cw = quaternion_to_rotation(qx, qy, qz, qw)  # camera -> world
+        rt = np.eye(4)
+        rt[:3, :3] = r_cw.T  # world -> camera
+        rt[:3, 3] = -r_cw.T @ np.array([tx, ty, tz])
+        return Camera(k=self.intrinsics.k(), rt=rt)
+
+    def cameras(self):
+        return [self.camera(i) for i in range(len(self))]
+
     def __getitem__(self, i: int) -> DepthMapView:
         from PIL import Image
 
@@ -152,14 +165,9 @@ class TUMDataset:
             color = np.asarray(
                 Image.open(os.path.join(self.root, fr["rgb_file"])).convert("RGB")
             )
-        tx, ty, tz, qx, qy, qz, qw = fr["pose"]
-        r_cw = quaternion_to_rotation(qx, qy, qz, qw)  # camera -> world
-        rt = np.eye(4)
-        rt[:3, :3] = r_cw.T  # world -> camera
-        rt[:3, 3] = -r_cw.T @ np.array([tx, ty, tz])
         return DepthMapView(
             depth=depth,
-            camera=Camera(k=self.intrinsics.k(), rt=rt),
+            camera=self.camera(i),
             color=color,
             name=fr["depth_file"],
         )

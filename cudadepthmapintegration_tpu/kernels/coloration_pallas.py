@@ -49,7 +49,12 @@ from jax.experimental.pallas import tpu as pltpu
 from . import integrate_pallas as _ip
 from .integrate_pallas import _gather_pixels_multi, _round_half_away
 
-__all__ = ["gather_colors_pallas", "stage_color_planes", "StagedColorPlanes"]
+__all__ = [
+    "gather_colors_pallas",
+    "stage_color_planes",
+    "stage_point_tiles",
+    "StagedColorPlanes",
+]
 
 
 def _morton_order(points: np.ndarray) -> np.ndarray:
@@ -244,6 +249,35 @@ def stage_color_planes(
     return StagedColorPlanes(jnp.asarray(c), hgt, wid)
 
 
+def stage_point_tiles(points: np.ndarray, sj: int, tile_block: int):
+    """Pack (N, 3) f32 points into the kernel's tiled operand layout
+    (ntb, tb*3*sj, 128): per tile, sj rows of x, then y, then z.
+
+    The tile count is rounded up to a multiple of ``tile_block`` (tb tiles
+    share one grid step, amortizing the per-step plane DMA + fixed cost
+    that dominates at tb=1 — measured 12 us/step vs ~4 us of gather work).
+    Padded vertices sit at the origin; they may gather real pixels but the
+    caller slices them away — only the last tile's footprint bbox sees
+    them. Returns ``(pts_t device array, nt)``. The SINGLE source of this
+    layout — reused by bench.py so a kernel layout change cannot silently
+    desynchronize the benchmark's operands.
+    """
+    n = points.shape[0]
+    tile = sj * 128
+    tb = max(1, int(tile_block))
+    pad_n = (-n) % (tile * tb)
+    pts = np.zeros((n + pad_n, 3), np.float32)
+    pts[:n] = points
+    nt = (n + pad_n) // tile
+    ntb = nt // tb
+    pts_t = (
+        pts.reshape(nt, sj, 128, 3)
+        .transpose(0, 3, 1, 2)
+        .reshape(ntb, tb * 3 * sj, 128)
+    )
+    return jnp.asarray(pts_t), nt
+
+
 def gather_colors_pallas(
     points: np.ndarray,  # (N, 3) world vertices (mesh order: raster-coherent)
     proj: np.ndarray,  # (V, 3, 4) rows of K4 @ RT, f32
@@ -267,26 +301,10 @@ def gather_colors_pallas(
     nv, _three, hp_s, wp_s = colors.planes.shape
     hgt, wid = colors.h, colors.w
     tile = sj * 128
-    # Round the tile count up to a multiple of tile_block (tb tiles share
-    # one grid step, amortizing the per-step plane DMA + fixed cost that
-    # dominates at tb=1 — measured 12 us/step vs ~4 us of gather work).
     tb = max(1, int(tile_block))
-    pad_n = (-n) % (tile * tb)
-    # Padded vertices project via a poisoned w-row: u stays out of bounds.
-    pts = np.zeros((n + pad_n, 3), np.float32)
-    pts[:n] = points
-    nt = (n + pad_n) // tile
-    ntb = nt // tb
-    # Layout (ntb, tb*3*sj, 128): per tile, sj rows of x, then y, then z.
-    # Padded vertices sit at the origin; they may gather real pixels but are
-    # sliced away below — only the last tile's footprint bbox sees them.
-    pts_t = (
-        pts.reshape(nt, sj, 128, 3)
-        .transpose(0, 3, 1, 2)
-        .reshape(ntb, tb * 3 * sj, 128)
-    )
+    pts_t, nt = stage_point_tiles(points, sj=sj, tile_block=tb)
     out = _gather_colors_padded(
-        jnp.asarray(pts_t),
+        pts_t,
         jnp.asarray(np.asarray(proj).reshape(nv, 12).astype(np.float32)),
         colors.planes,
         h=int(hgt), w=int(wid), sj=int(sj), tb=tb,

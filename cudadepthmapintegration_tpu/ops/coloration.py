@@ -66,7 +66,7 @@ def _gather_chunk(
     at that pixel (``depths_flat`` (Vc, h*w); the reference never does
     this — MeshColoration.cxx:150-170 samples straight through occluders).
     Pixels with the -1 invalid-depth sentinel carry no visibility
-    evidence and are rejected.
+    evidence and are rejected, as are vertices behind the camera (z <= 0).
     """
     # hom[v, n, r] = proj[v, r, :3] @ p + proj[v, r, 3], written ELEMENTWISE
     # in fixed left-to-right association ((px*x + py*y) + pz*z) + pw — NOT
@@ -96,7 +96,11 @@ def _gather_chunk(
     idx = vi * w + ui  # (Vc, N)
     if occlusion:
         d = jnp.take_along_axis(depths_flat, idx, axis=1)  # (Vc, N)
-        valid &= (d != -1.0) & (z <= d + occlusion_tol)
+        # z > 0: a vertex BEHIND the camera has no visibility evidence
+        # (its mirror projection may land in-bounds with z < 0, which
+        # would trivially satisfy z <= d + tol) — reject it like the -1
+        # sentinel, even when z_test itself was not requested.
+        valid &= (z > 0) & (d != -1.0) & (z <= d + occlusion_tol)
     rgb = jnp.take_along_axis(
         colors_flat, idx[..., None].astype(jnp.int32), axis=1
     )  # (Vc, N, 3) uint8

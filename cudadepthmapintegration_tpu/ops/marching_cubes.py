@@ -236,7 +236,13 @@ def marching_cubes(
     if n_active == 0:
         if _return_soup:
             return np.zeros((0, 3)), np.zeros((0,), np.int64)
-        return PolyData(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+        empty = PolyData(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+        if compute_normals:
+            # Keep the attribute set shape-stable: non-empty results carry
+            # "Normals", so the no-crossing case must too (consumers index
+            # point_data["Normals"] unconditionally).
+            empty.point_data["Normals"] = np.zeros((0, 3), np.float32)
+        return empty
 
     pad = _pad_to(n_active)
     cell_idx = np.zeros((pad, 3), dtype=np.int32)

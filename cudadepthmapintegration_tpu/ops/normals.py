@@ -29,17 +29,23 @@ __all__ = [
 ]
 
 
-def _node_gradients(pv, xs, ys, zs, kk, jj, ii):
+def _node_gradients(flat, shape, xs, ys, zs, kk, jj, ii):
     """Central-difference gradient of the point volume at integer nodes
-    (one-sided at boundaries; safe for degenerate single-node axes)."""
-    nz, ny, nx = pv.shape
-    flat = pv.reshape(-1)
+    (one-sided at boundaries; safe for degenerate single-node axes).
+
+    ``flat`` stays in its storage dtype; only the O(V) gathered node
+    values are widened to fp64 (fp32 is exact in fp64, so this is
+    bit-identical to widening the whole volume — which at 1024^3 would
+    be an ~8.6 GiB host allocation for ~V needed values)."""
+    nz, ny, nx = shape
     base = (kk * ny + jj) * nx + ii
 
     def axis_grad(idx, n, coords, stride):
         hi = np.minimum(idx + 1, n - 1)
         lo = np.maximum(idx - 1, 0)
-        num = flat[base + (hi - idx) * stride] - flat[base + (lo - idx) * stride]
+        num = flat[base + (hi - idx) * stride].astype(np.float64) - flat[
+            base + (lo - idx) * stride
+        ].astype(np.float64)
         den = coords[hi] - coords[lo]
         return num / np.where(den == 0, 1.0, den)
 
@@ -59,11 +65,12 @@ def normals_for_edge_keys(
 ) -> np.ndarray:
     """(V, 3) float32 unit normals for welded vertices given by canonical
     edge keys into ``point_volume`` (grid frame, pre grid-matrix)."""
-    pv = np.asarray(point_volume, np.float64)
+    pv = np.asarray(point_volume)
     xs = np.asarray(xs, np.float64)
     ys = np.asarray(ys, np.float64)
     zs = np.asarray(zs, np.float64)
     nz, ny, nx = pv.shape
+    flat = pv.reshape(-1)
     n_total = nx * ny * nz
     keys = np.asarray(keys, np.int64)
     axis = keys // n_total
@@ -77,10 +84,11 @@ def normals_for_edge_keys(
     jb = jj + (axis == 1)
     kb = kk + (axis == 2)
 
-    ga = _node_gradients(pv, xs, ys, zs, kk, jj, ii)
-    gb = _node_gradients(pv, xs, ys, zs, kb, jb, ib)
-    fa = pv[kk, jj, ii]
-    fb = pv[kb, jb, ib]
+    shape = (nz, ny, nx)
+    ga = _node_gradients(flat, shape, xs, ys, zs, kk, jj, ii)
+    gb = _node_gradients(flat, shape, xs, ys, zs, kb, jb, ib)
+    fa = flat[(kk * ny + jj) * nx + ii].astype(np.float64)
+    fb = flat[(kb * ny + jb) * nx + ib].astype(np.float64)
     denom = fb - fa
     t = np.where(denom != 0, (iso - fa) / np.where(denom == 0, 1.0, denom), 0.5)
     t = np.clip(t, 0.0, 1.0)

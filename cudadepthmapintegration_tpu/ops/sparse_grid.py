@@ -762,7 +762,10 @@ class SparseTSDFGrid:
             all_keys.append(gkeys)
 
         if not all_verts:
-            return PolyData(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+            empty = PolyData(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+            if compute_normals:  # attribute-set parity with non-empty
+                empty.point_data["Normals"] = np.zeros((0, 3), np.float32)
+            return empty
         mesh = _weld_triangle_soup(
             np.concatenate(all_verts), np.concatenate(all_keys), grid.matrix
         )

@@ -31,23 +31,46 @@ __all__ = [
     "permute_volume",
     "unpermute_volume",
     "grid_for_sharding",
+    "rig_cameras",
 ]
 
 
-def best_shard_grid_axis(grid: VoxelGrid, views) -> int:
-    """Grid axis (0=x, 1=y, 2=z) the cameras look along LEAST.
-
-    Scores each grid-frame axis by the summed |view-direction| component
-    over the rig (row 2 of ``RT @ grid_matrix`` is the camera's viewing
-    direction expressed in grid coordinates, cf.
-    ``kernels.integrate_pallas.best_axis_permutation``) and returns the
-    argmin — the axis whose pinning to the kernel's k step hurts least.
-    """
+def _axis_scores(grid: VoxelGrid, cameras) -> np.ndarray:
+    """Summed |view-direction| component per grid axis over the rig
+    (row 2 of ``RT @ grid_matrix`` is the camera's viewing direction in
+    grid coordinates, cf. ``kernels.integrate_pallas.best_axis_permutation``)."""
     score = np.zeros(3, dtype=np.float64)
-    for v in views:
-        rot = (v.camera.rt @ grid.matrix)[:3, :3]
+    for cam in cameras:
+        rot = (cam.rt @ grid.matrix)[:3, :3]
         score += np.abs(rot[2])
-    return int(np.argmin(score))
+    return score
+
+
+def rig_cameras(views, max_samples: int = 64):
+    """Cameras of a rig WITHOUT decoding depth frames where avoidable.
+
+    - objects with a ``cameras()`` method (``DepthMapDataset`` and the
+      TUM/ScanNet readers) return Camera objects from pose/calibration
+      data alone;
+    - other sequences are stride-sampled to at most ``max_samples``
+      frame decodes (the axis choice is a rig-level heuristic; an even
+      subsample scores it identically for any coherent trajectory);
+    - bare iterables are consumed (callers wanting streaming must pass a
+      sequence or dataset).
+    """
+    if hasattr(views, "cameras"):
+        return list(views.cameras())
+    if hasattr(views, "__getitem__") and hasattr(views, "__len__"):
+        n = len(views)
+        step = max(1, -(-n // max_samples))
+        return [views[i].camera for i in range(0, n, step)]
+    return [v.camera for v in views]
+
+
+def best_shard_grid_axis(grid: VoxelGrid, views) -> int:
+    """Grid axis (0=x, 1=y, 2=z) the cameras look along LEAST — the axis
+    whose pinning to the kernel's k step hurts least."""
+    return int(np.argmin(_axis_scores(grid, rig_cameras(views))))
 
 
 def permute_grid_axes(grid: VoxelGrid, perm: tuple[int, int, int]) -> VoxelGrid:
@@ -100,7 +123,7 @@ def unpermute_volume(volume, perm: tuple[int, int, int]):
 
 
 def grid_for_sharding(
-    grid: VoxelGrid, views
+    grid: VoxelGrid, views, n_shards: int | None = None
 ) -> tuple[VoxelGrid, tuple[int, int, int]]:
     """Relabeled grid whose z axis is the rig's least-looked-along axis.
 
@@ -108,12 +131,26 @@ def grid_for_sharding(
     (z-slab sharding now cuts the friendly axis) and map results back
     with ``unpermute_volume(vol, perm)``. If z is already optimal the
     grid is returned unchanged with the identity perm.
+
+    ``n_shards`` (the z mesh-axis size) restricts the choice to axes
+    whose CELL count divides it — the slab decomposition's hard
+    requirement — falling back to the next-best axis, so 'auto' never
+    turns a shardable grid into a ``ValueError`` purely on rig geometry.
+    With no divisible axis the grid is returned unchanged (the caller
+    fails exactly as an explicit ``shard_axis='z'`` would).
     """
-    axis = best_shard_grid_axis(grid, views)
-    if axis == 2:
-        return grid, (0, 1, 2)
-    # Swap the chosen axis with z; keep the other two in order.
-    perm = [0, 1, 2]
-    perm[axis], perm[2] = perm[2], perm[axis]
-    perm = tuple(perm)
-    return permute_grid_axes(grid, perm), perm
+    scores = _axis_scores(grid, rig_cameras(views))
+    # cells per GRID axis (volume_shape is (cz, cy, cx) z-major).
+    cells = (grid.volume_shape[2], grid.volume_shape[1], grid.volume_shape[0])
+    for axis in np.argsort(scores, kind="stable"):
+        axis = int(axis)
+        if n_shards is not None and cells[axis] % n_shards:
+            continue
+        if axis == 2:
+            return grid, (0, 1, 2)
+        # Swap the chosen axis with z; keep the other two in order.
+        perm = [0, 1, 2]
+        perm[axis], perm[2] = perm[2], perm[axis]
+        perm = tuple(perm)
+        return permute_grid_axes(grid, perm), perm
+    return grid, (0, 1, 2)

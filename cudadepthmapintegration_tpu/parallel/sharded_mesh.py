@@ -100,7 +100,10 @@ def sharded_extract_isosurface(
             )
 
     if not all_verts:
-        return PolyData(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+        empty = PolyData(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+        if compute_normals:  # attribute-set parity with non-empty results
+            empty.point_data["Normals"] = np.zeros((0, 3), np.float32)
+        return empty
     soup_verts = np.concatenate(all_verts)
     soup_keys = np.concatenate(all_keys)
     # Boundary edges appear in two slabs with identical keys and positions;

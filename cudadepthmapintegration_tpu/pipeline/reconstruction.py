@@ -193,8 +193,13 @@ class ReconstructionPipeline:
                         "shard_axis='auto' does not compose with "
                         "checkpoint_path (checkpoints are canonical-layout)"
                     )
+                # Sequences/datasets are scored via lazy camera access
+                # (rig_cameras); only a bare generator must materialize,
+                # since it is consumed again by the fusion loop below.
                 views = views if hasattr(views, "__getitem__") else list(views)
-                fuse_grid, perm = grid_for_sharding(grid, views)
+                fuse_grid, perm = grid_for_sharding(
+                    grid, views, n_shards=self.mesh.shape["z"]
+                )
             init = initial
             if perm != (0, 1, 2) and initial is not None:
                 init = permute_volume(np.asarray(initial), perm)

@@ -146,7 +146,7 @@ def check_marching_cubes(seed) -> list[str]:
 
 def check_occlusion(seed) -> list[str]:
     """Occlusion-mode coloration (xla, fp64 projection) vs a direct numpy
-    restatement of the predicate: in-bounds AND depth != -1 AND
+    restatement of the predicate: in-bounds AND depth != -1 AND z > 0 AND
     z <= depth + tol."""
     from cudadepthmapintegration_tpu.core.camera import round_half_away
     from cudadepthmapintegration_tpu.ops.coloration import colorize_points
@@ -174,7 +174,7 @@ def check_occlusion(seed) -> list[str]:
             if u < 0 or vv < 0 or u >= w or vv >= h:
                 continue
             d = np.float32(v.depth[int(vv), int(u)])
-            if d != -1.0 and hom[2] <= d + tol:
+            if d != -1.0 and hom[2] > 0 and hom[2] <= d + tol:
                 exp[i] += 1
     if not np.array_equal(counts, exp):
         bad.append("occlusion_counts")

@@ -200,6 +200,23 @@ def test_occlusion_tol_rejects_hidden_and_invalid_samples():
     np.testing.assert_array_equal(c2, [1, 1, 1, 0])
 
 
+def test_occlusion_tol_rejects_behind_camera_vertices():
+    """A vertex BEHIND the camera mirror-projects in-bounds with z < 0,
+    which trivially satisfies z <= d + tol — occlusion mode must reject
+    it (no visibility evidence) even without the separate z_test opt-in,
+    while the reference-parity default keeps counting it
+    (MeshColoration.cxx:158-163 has no z sign test)."""
+    view = _frontal_view(depth_value=2.0)
+    pts = np.array([
+        [0.0, 0.0, 2.0],     # in front, on the surface
+        [0.0, 0.0, -2.0],    # behind the camera, mirror hits the center
+    ])
+    _, _, base = colorize_points(pts, [view])
+    np.testing.assert_array_equal(base, [1, 1])  # reference quirk parity
+    _, _, count = colorize_points(pts, [view], occlusion_tol=0.1)
+    np.testing.assert_array_equal(count, [1, 0])
+
+
 def test_occlusion_tol_rejects_pallas_backend():
     import pytest
 

@@ -178,3 +178,28 @@ def test_vtp_roundtrip_preserves_normals(tmp_path):
     )
     text = open(path, "rb").read(4096).decode("latin1")
     assert 'Normals="Normals"' in text  # active-attribute marker
+
+
+def test_empty_extraction_still_carries_normals_array():
+    """A no-crossing field must return the same attribute set as a
+    1-triangle result: consumers read point_data["Normals"]
+    unconditionally when compute_normals=True (the default)."""
+    import numpy as np
+
+    from cudadepthmapintegration_tpu.core import VoxelGrid
+    from cudadepthmapintegration_tpu.ops.marching_cubes import (
+        extract_isosurface,
+        marching_cubes,
+    )
+
+    vol = np.zeros((4, 4, 4), np.float64)  # never crosses iso=1
+    xs = ys = zs = np.arange(5.0)
+    mesh = marching_cubes(
+        np.zeros((5, 5, 5)), 1.0, xs, ys, zs, compute_normals=True,
+        backend="jax",
+    )
+    assert mesh.point_data["Normals"].shape == (0, 3)
+    grid = VoxelGrid(dims=(5, 5, 5), origin=(0, 0, 0), spacing=(1, 1, 1))
+    mesh2 = extract_isosurface(grid, vol, 1.0)
+    assert mesh2.point_data["Normals"].shape == (0, 3)
+    assert mesh2.point_data["reconstruction_scalar"].shape == (0,)

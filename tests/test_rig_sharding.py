@@ -132,3 +132,54 @@ def test_grid_for_sharding_topdown_sharded_matches():
     np.testing.assert_allclose(
         unpermute_volume(sharded, perm), base, rtol=0, atol=0
     )
+
+
+def test_grid_for_sharding_skips_non_divisible_axis():
+    # Top-down rig wants an in-plane axis on z, but x/y cells (16) don't
+    # divide an hypothetical 7-way mesh while z cells (14) do: 'auto' must
+    # fall back to an axis that actually shards rather than raising later.
+    grid = _grid(dims=(17, 17, 15))  # cells (cx, cy, cz) = (16, 16, 14)
+    views = _views(orbit_cameras(4, 0.5, height=4.0, focal=60.0,
+                                 width=W, image_height=H))
+    pg, perm = grid_for_sharding(grid, views, n_shards=7)
+    assert perm == (0, 1, 2) and pg is grid  # only z divides 7
+    # With a divisor every axis satisfies, the rig choice is honored.
+    pg2, perm2 = grid_for_sharding(grid, views, n_shards=2)
+    assert perm2 != (0, 1, 2)
+    # No axis divisible: identity (caller fails as explicit 'z' would).
+    pg3, perm3 = grid_for_sharding(grid, views, n_shards=5)
+    assert perm3 == (0, 1, 2)
+
+
+def test_rig_cameras_avoids_frame_decode():
+    # Sequences with a cameras() method must not be indexed per frame.
+    from cudadepthmapintegration_tpu.parallel.rig import rig_cameras
+
+    views = _views(orbit_cameras(4, 4.0, focal=60.0, width=W,
+                                 image_height=H))
+
+    class Ds:
+        def __len__(self):
+            return len(views)
+
+        def __getitem__(self, i):
+            raise AssertionError("frame decoded for camera access")
+
+        def cameras(self):
+            return [v.camera for v in views]
+
+    cams = rig_cameras(Ds())
+    assert len(cams) == 4
+    # Plain long sequences are stride-sampled, not fully decoded.
+    touched = []
+
+    class Seq:
+        def __len__(self):
+            return 4096
+
+        def __getitem__(self, i):
+            touched.append(i)
+            return views[i % len(views)]
+
+    assert len(rig_cameras(Seq())) <= 64
+    assert len(touched) <= 64
