@@ -203,11 +203,11 @@ def main(argv: list[str] | None = None) -> int:
         from ..utils.profiling import FusionMetrics
 
         m = FusionMetrics(seconds=result.execution_time)
-        # The integrator reads+writes the volume once per staged batch
-        # (views within a batch accumulate in VMEM) — count every sweep,
-        # or the roofline fraction understates by the batch count.
-        # Orientation-group re-dispatches add sweeps beyond this minimum.
-        sweeps = max(1, -(-result.views_fused // config.stream_batch))
+        # True per-backend sweep count, reported by the integrator itself
+        # (xla: one volume RMW per view_batch chunk; pallas: one per
+        # orientation group per staged batch) — an estimate from
+        # views/stream_batch understates volume traffic ~4x at defaults.
+        sweeps = max(1, result.volume_sweeps)
         m.add_fusion(result.grid.num_cells, result.views_fused,
                      passes=sweeps)
         with open(args.metrics, "w") as f:

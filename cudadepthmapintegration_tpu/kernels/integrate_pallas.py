@@ -870,11 +870,18 @@ def pallas_integrate(
     depth map is pre-split into 3 exact bf16-valued planes
     (:func:`split_depth_planes`) so the select dots run at DEFAULT precision
     (3 MXU passes total vs HIGHEST's 6) — bit-identical output, ~3x the
-    depth VMEM footprint. mode='rowselm'/'rowsel3m': same selection, but
-    the in-kernel remainder walk (measured 72% of kernel time for zero
-    common-case work) is replaced by a miss COUNT; on a nonzero count this
+    depth VMEM footprint; the production default on TPU.
+
+    mode='rowselm'/'rowsel3m' — COVERAGE DIAGNOSTICS, measured SLOWER for
+    production sweeps (1278 vs 1015 ms whole-sweep @512^3x32, see
+    docs/KERNEL.md "coverage sweep"): same selection, but the in-kernel
+    remainder walk is replaced by a miss COUNT; on a nonzero count this
     function re-dispatches the matching exact mode on the preserved input —
-    results are bit-identical to the exact mode in both branches.
+    results are bit-identical to the exact mode in both branches, but ANY
+    miss wastes the fast pass. Use them to measure static-pass coverage of
+    a geometry, or for workloads KNOWN to cover statically (miss == 0);
+    don't ship them as the default.
+
     mode='windows': the round-1 windowed gather kernel with a static
     `windows` grid. All modes are exact for ANY geometry, so the tunables
     affect speed, never values.

@@ -187,6 +187,10 @@ class TSDFIntegrator:
         self.backend = backend
         self.volume = None  # lazily initialized device array (cz, cy, cx)
         self.views_fused = 0
+        # True volume read+write sweeps performed (for --metrics roofline):
+        # the xla backend sweeps once per view_batch chunk; the pallas
+        # backend once per orientation group per batch.
+        self.volume_sweeps = 0
 
     def reset(self, initial: np.ndarray | None = None):
         vol = (
@@ -196,6 +200,7 @@ class TSDFIntegrator:
         )
         self.volume = jax.device_put(vol, self.device)
         self.views_fused = 0
+        self.volume_sweeps = 0
         return self
 
     def integrate(
@@ -218,12 +223,12 @@ class TSDFIntegrator:
                     f"expected {(h, w)}"
                 )
         if self.backend == "pallas":
-            from ..kernels.integrate_pallas import integrate_views_oriented
+            from ..kernels.integrate_pallas import OrientedFusionPlan
 
-            self.volume = integrate_views_oriented(
-                self.volume, self.grid, views, self.params
-            )
+            plan = OrientedFusionPlan(self.grid, views, self.params)
+            self.volume = plan.run(self.volume)
             self.views_fused += len(views)
+            self.volume_sweeps += len(plan.groups)
             return self
         tables = projection_tables(self.grid, views, np.dtype(self.dtype))
         depths = np.stack([v.depth for v in views]).astype(self.dtype)
@@ -238,6 +243,8 @@ class TSDFIntegrator:
             eta=float(self.params.eta), delta=float(self.params.delta),
         )
         self.views_fused += len(views)
+        vb = min(self.view_batch, len(views))
+        self.volume_sweeps += -(-len(views) // vb)
         return self
 
     def result(self) -> np.ndarray:

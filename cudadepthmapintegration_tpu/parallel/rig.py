@@ -15,6 +15,20 @@ and spacings are reordered), so the fused volume is bit-identical to
 fusing on the original grid — only the memory layout (and therefore the
 shard axis) changes.
 
+**Knife-edge caveat (measured, round 3).** "Exact permutation" holds for
+every table VALUE, but the integrators sum the separable projection as
+``fl(fl(fl(t_k + t_j) + t_i) + tc)`` in LAYOUT-axis order, and fp
+addition is not associative — relabeling regroups the sum. The regrouped
+``hom`` can differ by ~1 ulp, which flips ``round(hom.xy/hom.z)`` ONLY
+when a projection lands exactly on a half-pixel boundary. Real rigs
+essentially never do; synthetic parity scenes built on exact decimal
+lattices do (measured: origin (-1.6,)*3 with 0.2 spacing and a top-down
+orbit flips 37 of 1.5M projected pixels; offsetting the origin to
+(-1.63, -1.61, -1.59) flips zero). No grouping of 4 terms is invariant
+under all axis swaps, so exact invariance would need compensated 3-way
+summation in the hot loop — not worth it for a measure-zero tie. Tests
+pin bit-identity on non-knife-edge geometry (docs/PARITY.md).
+
 Replaces nothing in the reference (`Reconstruction/CudaReconstruction.cu`
 is single-GPU and layout-fixed); this is scale-out machinery.
 """
@@ -46,7 +60,7 @@ def _axis_scores(grid: VoxelGrid, cameras) -> np.ndarray:
     return score
 
 
-def rig_cameras(views, max_samples: int = 64):
+def rig_cameras(views, max_samples: int | None = 64):
     """Cameras of a rig WITHOUT decoding depth frames where avoidable.
 
     - objects with a ``cameras()`` method (``DepthMapDataset`` and the
@@ -54,7 +68,11 @@ def rig_cameras(views, max_samples: int = 64):
       data alone;
     - other sequences are stride-sampled to at most ``max_samples``
       frame decodes (the axis choice is a rig-level heuristic; an even
-      subsample scores it identically for any coherent trajectory);
+      subsample scores it identically for any coherent trajectory).
+      Pass ``max_samples=None`` to score EVERY frame — frame-order
+      independent, at the cost of decoding each one (useful for rigs
+      with non-uniform trajectories, e.g. a long top-down segment
+      followed by orbit frames);
     - bare iterables are consumed (callers wanting streaming must pass a
       sequence or dataset).
     """
@@ -62,15 +80,20 @@ def rig_cameras(views, max_samples: int = 64):
         return list(views.cameras())
     if hasattr(views, "__getitem__") and hasattr(views, "__len__"):
         n = len(views)
-        step = max(1, -(-n // max_samples))
+        step = 1 if max_samples is None else max(1, -(-n // max_samples))
         return [views[i].camera for i in range(0, n, step)]
     return [v.camera for v in views]
 
 
-def best_shard_grid_axis(grid: VoxelGrid, views) -> int:
+def best_shard_grid_axis(
+    grid: VoxelGrid, views, max_samples: int | None = 64
+) -> int:
     """Grid axis (0=x, 1=y, 2=z) the cameras look along LEAST — the axis
-    whose pinning to the kernel's k step hurts least."""
-    return int(np.argmin(_axis_scores(grid, rig_cameras(views))))
+    whose pinning to the kernel's k step hurts least. ``max_samples``
+    bounds frame decodes for plain sequences (see :func:`rig_cameras`)."""
+    return int(
+        np.argmin(_axis_scores(grid, rig_cameras(views, max_samples)))
+    )
 
 
 def permute_grid_axes(grid: VoxelGrid, perm: tuple[int, int, int]) -> VoxelGrid:
@@ -123,7 +146,10 @@ def unpermute_volume(volume, perm: tuple[int, int, int]):
 
 
 def grid_for_sharding(
-    grid: VoxelGrid, views, n_shards: int | None = None
+    grid: VoxelGrid,
+    views,
+    n_shards: int | None = None,
+    max_samples: int | None = 64,
 ) -> tuple[VoxelGrid, tuple[int, int, int]]:
     """Relabeled grid whose z axis is the rig's least-looked-along axis.
 
@@ -138,8 +164,11 @@ def grid_for_sharding(
     turns a shardable grid into a ``ValueError`` purely on rig geometry.
     With no divisible axis the grid is returned unchanged (the caller
     fails exactly as an explicit ``shard_axis='z'`` would).
+
+    ``max_samples``: frame-decode cap for plain sequences; ``None``
+    scores every frame (see :func:`rig_cameras`).
     """
-    scores = _axis_scores(grid, rig_cameras(views))
+    scores = _axis_scores(grid, rig_cameras(views, max_samples))
     # cells per GRID axis (volume_shape is (cz, cy, cx) z-major).
     cells = (grid.volume_shape[2], grid.volume_shape[1], grid.volume_shape[0])
     for axis in np.argsort(scores, kind="stable"):

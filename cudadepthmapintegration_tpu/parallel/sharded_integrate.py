@@ -93,6 +93,10 @@ class ShardedTSDFIntegrator:
         self.vol_sharding = NamedSharding(mesh, P("z", None, None))
         self.volume = None
         self.views_fused = 0
+        # Per-shard volume read+write sweeps (for --metrics roofline):
+        # the scan-based xla paths RMW the slab once per view; the pallas
+        # path once per orientation group per batch.
+        self.volume_sweeps = 0
         # Jitted shard_map steps of the Pallas path, keyed by the per-group
         # layout signature + tunables — reused across view batches.
         self._pallas_steps: dict = {}
@@ -115,6 +119,7 @@ class ShardedTSDFIntegrator:
                 np.asarray(initial, self.dtype), self.vol_sharding
             )
         self.views_fused = 0
+        self.volume_sweeps = 0
         return self
 
     def integrate(
@@ -147,6 +152,7 @@ class ShardedTSDFIntegrator:
             eta=float(self.params.eta), delta=float(self.params.delta),
         )
         self.views_fused += len(views)
+        self.volume_sweeps += len(views)
         return self
 
     def integrate_view_parallel(
@@ -213,6 +219,7 @@ class ShardedTSDFIntegrator:
             view_sh(depths, P("v", None, None)),
         )
         self.views_fused += len(views)
+        self.volume_sweeps += len(views) // nv
         return self
 
     def integrate_pallas(
@@ -228,6 +235,7 @@ class ShardedTSDFIntegrator:
         )
         self.run_staged_pallas(staged)
         self.views_fused += len(views)
+        self.volume_sweeps += len(staged[1])
         return self
 
     def stage_pallas_views(

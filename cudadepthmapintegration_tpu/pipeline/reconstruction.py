@@ -113,6 +113,9 @@ class ReconstructionResult:
     execution_time: float  # fusion seconds (GetExecutionTime parity)
     total_time: float
     views_fused: int
+    # True volume read+write sweeps performed by the integrator (for the
+    # --metrics roofline; backend-dependent — see TSDFIntegrator).
+    volume_sweeps: int = 0
 
 
 class ReconstructionPipeline:
@@ -132,8 +135,10 @@ class ReconstructionPipeline:
         sharded axis lose ~22% of kernel rate). The relabeling is an exact
         permutation — results are bit-identical, returned in the canonical
         layout either way. Requires a mesh and a materializable view
-        sequence; does not compose with `checkpoint_path` (checkpoints
-        store canonical-layout volumes)."""
+        sequence. Composes with `checkpoint_path`: checkpoints always
+        store canonical-layout volumes (the permutation is applied at the
+        integrator boundary), so a run resumed with a different axis
+        choice — or none — stays correct."""
         if shard_axis not in ("z", "auto"):
             raise ValueError(f"shard_axis must be 'z' or 'auto', got {shard_axis!r}")
         self.config = config
@@ -178,6 +183,7 @@ class ReconstructionPipeline:
         grid = cfg.make_grid()
         params = cfg.ray_potential()
         self._print_parameters(grid)
+        perm = (0, 1, 2)  # identity unless shard_axis='auto' relabels below
         if self.mesh is not None:
             from ..parallel.rig import (
                 grid_for_sharding,
@@ -188,11 +194,6 @@ class ReconstructionPipeline:
 
             fuse_grid, perm = grid, (0, 1, 2)
             if self.shard_axis == "auto":
-                if cfg.checkpoint_path is not None:
-                    raise ValueError(
-                        "shard_axis='auto' does not compose with "
-                        "checkpoint_path (checkpoints are canonical-layout)"
-                    )
                 # Sequences/datasets are scored via lazy camera access
                 # (rig_cameras); only a bare generator must materialize,
                 # since it is consumed again by the fusion loop below.
@@ -232,11 +233,25 @@ class ReconstructionPipeline:
                     "checkpoint_path and an explicit initial volume are "
                     "mutually exclusive (the checkpoint seeds the volume)"
                 )
+            from ..parallel.rig import permute_volume as _permute
             from .runner import FaultTolerantRunner
 
+            def to_fuse_layout(vol):
+                # Checkpoints (and the runner) live in the CANONICAL grid
+                # layout; a shard_axis='auto' integrator fuses on the
+                # relabeled grid, so seeds cross the boundary permuted
+                # (result() is already wrapped to unpermute) — this is what
+                # lets 'auto' compose with resume across axis choices.
+                if vol is None or perm == (0, 1, 2):
+                    return vol
+                return _permute(np.asarray(vol), perm)
+
+            sweeps_acc = {"n": 0}
+
             def integrate_fn(vol, batch):
-                integrator.reset(vol)
+                integrator.reset(to_fuse_layout(vol))
                 integrator.integrate(batch, cfg.threshold_best_cost)
+                sweeps_acc["n"] += getattr(integrator, "volume_sweeps", 0)
                 return np.asarray(integrator.result())
 
             runner = FaultTolerantRunner(
@@ -250,7 +265,9 @@ class ReconstructionPipeline:
             t0 = time.perf_counter()
             seq = views if hasattr(views, "__getitem__") else list(views)
             volume = runner.run(seq)
-            integrator.reset(volume)
+            integrator.reset(to_fuse_layout(volume))
+            integrator.views_fused = len(seq)
+            integrator.volume_sweeps = sweeps_acc["n"]
             integrator.result()
             return integrator, time.perf_counter() - t0
 
@@ -297,6 +314,7 @@ class ReconstructionPipeline:
         with log.phase("Launch reconstruction"):
             integrator, exec_time = self.fuse(views, initial=initial)
         volume = integrator.result()
+        sweeps = int(getattr(integrator, "volume_sweeps", 0))
 
         # The reference ALWAYS writes the cell->point volume as a compressed
         # .mha in the cwd (main.cxx:157-161).
@@ -349,6 +367,7 @@ class ReconstructionPipeline:
             execution_time=exec_time,
             total_time=total,
             views_fused=integrator.views_fused,
+            volume_sweeps=sweeps,
         )
 
     def write_summary(

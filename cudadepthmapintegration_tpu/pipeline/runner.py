@@ -37,7 +37,30 @@ from ..core.ray_potential import RayPotential
 from ..utils.log import Log
 from .checkpoint import FusionCheckpoint, load_checkpoint, save_checkpoint
 
-__all__ = ["WorkUnit", "FaultTolerantRunner", "FusionUnitError"]
+__all__ = [
+    "WorkUnit",
+    "FaultTolerantRunner",
+    "FusionUnitError",
+    "NON_TRANSIENT_EXCEPTIONS",
+]
+
+# Exception classes that indicate a PROGRAMMING error in `integrate_fn`
+# (wrong signature, missing attribute, bad key/index), not a transient
+# fault of the device or I/O path. Retrying these cannot succeed — it
+# only buries the traceback under max_retries sleep-and-retry cycles —
+# so the runner checkpoints completed progress and re-raises on the
+# FIRST attempt. Everything else (device resets, tunnel drops, OSError,
+# RuntimeError from a lost buffer) stays retried: fusion units are
+# idempotent, so a transient retry is always safe.
+NON_TRANSIENT_EXCEPTIONS = (
+    TypeError,
+    AttributeError,
+    KeyError,
+    IndexError,
+    NameError,
+    NotImplementedError,
+    AssertionError,
+)
 
 
 class FusionUnitError(RuntimeError):
@@ -214,6 +237,16 @@ class FaultTolerantRunner:
                     volume = self.integrate_fn(seed, batch)
                     ok = True
                     break
+                except NON_TRANSIENT_EXCEPTIONS as e:
+                    # Programming error: fail fast on attempt 1, but save
+                    # completed progress first so a fixed rerun resumes.
+                    self.log.always(
+                        f"unit {unit.unit_id} failed with non-transient "
+                        f"{type(e).__name__}: {e} — not retrying"
+                    )
+                    if self.checkpoint_path and done_since_ckpt:
+                        self._checkpoint(volume, len(views))
+                    raise
                 except Exception as e:
                     self.log.always(
                         f"unit {unit.unit_id} attempt {attempt + 1} failed: {e}"

@@ -183,3 +183,75 @@ def test_rig_cameras_avoids_frame_decode():
 
     assert len(rig_cameras(Seq())) <= 64
     assert len(touched) <= 64
+
+
+def test_pipeline_auto_axis_composes_with_checkpoint(tmp_path):
+    # shard_axis='auto' + --checkpoint: checkpoints live in the CANONICAL
+    # layout, the permuted integrator is seeded across the boundary, and a
+    # crashed canonical run RESUMES under an auto-axis pipeline.
+    from cudadepthmapintegration_tpu.pipeline import (
+        ReconstructionConfig,
+        ReconstructionPipeline,
+    )
+    from cudadepthmapintegration_tpu.pipeline.runner import (
+        FaultTolerantRunner,
+        FusionUnitError,
+    )
+
+    cfg = ReconstructionConfig(
+        grid_dims=(17, 17, 17),
+        grid_spacing=(0.2, 0.2, 0.2),
+        # Offset origin (like config17 in the pipeline tests): relabeling
+        # regroups the fp64 hom sum, so projections landing EXACTLY on a
+        # half-pixel boundary may round differently across layouts — see
+        # the "knife-edge" note in parallel/rig.py.
+        grid_origin=(-1.63, -1.61, -1.59),
+        ray_thick=0.1, ray_rho=0.8, ray_eta=0.03, ray_delta=0.3,
+        contour_value=1.0, dtype="float64", write_mha_path=None,
+        stream_batch=2,
+        checkpoint_path=str(tmp_path / "auto.ckpt"),
+    )
+    # Top-down rig: 'auto' picks a non-z axis (pinned by the tests above).
+    views = _views(orbit_cameras(8, 0.5, height=4.0, focal=60.0,
+                                 width=W, image_height=H))
+    grid = cfg.make_grid()
+    params = cfg.ray_potential()
+
+    # Crash a CANONICAL-layout run after one unit (unit_size == stream_batch
+    # so the pipeline's resumed runner sees the same unit layout).
+    calls = {"n": 0}
+
+    def crashy(volume, batch):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("host died")
+        integ = TSDFIntegrator(grid, params, dtype=np.float64).reset(volume)
+        integ.integrate(batch, cfg.threshold_best_cost)
+        return integ.result()
+
+    r1 = FaultTolerantRunner(
+        grid, params, crashy, unit_size=2, max_retries=1,
+        checkpoint_path=cfg.checkpoint_path,
+    )
+    with pytest.raises(FusionUnitError):
+        r1.run(views)
+    assert len(r1.completed_units) == 1
+
+    # Resume under the sharded auto-axis pipeline; must match the plain run
+    # (tolerance: per-unit fusion regroups the fp64 accumulation vs the
+    # plain path's single batched scan — semantic differences would be
+    # O(rho)=0.8, not 1e-12). Poisoning the COMPLETED unit's views proves
+    # the resume actually skipped it (re-fusing them would corrupt the
+    # volume by a whole view contribution).
+    base_cfg = ReconstructionConfig(**{
+        **{f.name: getattr(cfg, f.name)
+           for f in __import__("dataclasses").fields(cfg)},
+        "checkpoint_path": None,
+    })
+    base = ReconstructionPipeline(base_cfg).run(views)
+    resumed_views = [views[4], views[5]] + views[2:]
+    auto = ReconstructionPipeline(
+        cfg, mesh=make_mesh(), shard_axis="auto"
+    ).run(resumed_views)
+    np.testing.assert_allclose(auto.volume, base.volume, rtol=0, atol=1e-12)
+    assert auto.views_fused == 8

@@ -197,3 +197,41 @@ def test_runner_multi_host_striping_sums_to_full():
     combined = partials[0] + partials[1]
     exp = integrate_views_oracle(grid, views, PARAMS)
     np.testing.assert_allclose(combined, exp, atol=1e-9)
+
+
+def test_runner_fails_fast_on_programming_errors(tmp_path):
+    """A TypeError in integrate_fn must surface on attempt 1 (no retries),
+    with completed progress checkpointed for a fixed rerun."""
+    views = sphere_scene(n_views=4, width=64, height=48)
+    grid = grid16()
+    calls = {"n": 0}
+    good = make_integrate_fn(grid)
+
+    def integrate_fn(volume, batch):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # unit 0 succeeds; unit 1 hits the bug
+            raise TypeError("integrate_fn() got an unexpected keyword")
+        return good(volume, batch)
+
+    ckpt = str(tmp_path / "ft.ckpt")
+    runner = FaultTolerantRunner(
+        grid, PARAMS, integrate_fn, unit_size=2, checkpoint_path=ckpt
+    )
+    with pytest.raises(TypeError):
+        runner.run(views)
+    assert calls["n"] == 2  # exactly one attempt of the buggy unit
+
+    # The completed unit was checkpointed; a fixed rerun resumes past it.
+    calls2 = {"n": 0}
+
+    def fixed_fn(volume, batch):
+        calls2["n"] += 1
+        return good(volume, batch)
+
+    runner2 = FaultTolerantRunner(
+        grid, PARAMS, fixed_fn, unit_size=2, checkpoint_path=ckpt
+    )
+    vol = runner2.run(views)
+    assert calls2["n"] == 1  # only the failed unit re-fused
+    exp = integrate_views_oracle(grid, views, PARAMS)
+    np.testing.assert_allclose(vol, exp, atol=1e-9)
