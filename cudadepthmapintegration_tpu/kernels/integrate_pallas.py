@@ -99,27 +99,60 @@ def _check_depth_vmem(h, w, hp, wp, split3):
 
 
 def _vmem_safe_mode(mode, h, w, window_rows):
-    """Auto-downgrade split-plane modes to their single-plane counterpart
-    when the 3-plane block would blow the VMEM ceiling but one plane fits
-    (bit-identical results — the split only changes select-dot precision
-    plumbing; selects then run at HIGHEST). Raises via _check_depth_vmem
-    when even one plane does not fit."""
-    rowsel_family = ("rowsel", "rowsel3", "rowselm", "rowsel3m")
+    """Route oversized depth maps off the whole-map VMEM staging path
+    (bit-identical results in every branch — mode changes only affect
+    select-dot plumbing / window residency, never values):
+
+    * 'rowsel3' whose 3 split planes blow the VMEM ceiling but whose
+      single plane fits -> 'rowsel' (1 plane, HIGHEST-precision selects;
+      measured 0.82 G upd/s at 1024x768, docs/KERNEL.md);
+    * anything whose single plane ALSO blows the ceiling -> the matching
+      HBM-resident mode ('rowselh'/'rowsel3h'): depth planes stay in HBM
+      and the kernel DMAs per-footprint windows — NO size ceiling (the
+      round-2 hard error for >14 MiB maps is gone);
+    * the miss-tracking diagnostics keep the hard error (a diagnostic
+      silently switching residency would invalidate what it measures).
+    """
+    rowsel_family = (
+        "rowsel", "rowsel3", "rowselm", "rowsel3m", "rowselh", "rowsel3h"
+    )
+    if mode in ("rowselh", "rowsel3h"):
+        return mode  # HBM-resident: no VMEM ceiling
     min_h = int(window_rows) if mode in rowsel_family else 8
     hp = h + max(min_h - h, (-h) % 8)
     wp = w + ((-w) % 128)
     split3 = mode in ("rowsel3", "rowsel3m")
-    if split3 and 2 * 3 * hp * wp * 4 > DEPTH_VMEM_CEILING:
-        downgraded = "rowsel" if mode == "rowsel3" else "rowselm"
-        _check_depth_vmem(h, w, hp, wp, split3=False)
-        import logging
+    import logging
 
-        logging.getLogger(__name__).warning(
+    log = logging.getLogger(__name__)
+    one_plane_over = 2 * hp * wp * 4 > DEPTH_VMEM_CEILING
+    if split3 and 2 * 3 * hp * wp * 4 > DEPTH_VMEM_CEILING:
+        if one_plane_over:
+            if mode == "rowsel3m":
+                # Diagnostics never switch residency silently.
+                _check_depth_vmem(h, w, hp, wp, split3=True)
+            log.warning(
+                "depth maps %dx%d exceed even the single-plane VMEM "
+                "ceiling; using HBM-resident mode='rowsel3h' "
+                "(bit-identical; see docs/KERNEL.md)", h, w,
+            )
+            return "rowsel3h"
+        downgraded = "rowsel" if mode == "rowsel3" else "rowselm"
+        log.warning(
             "depth maps %dx%d exceed the 3-plane VMEM ceiling; using "
             "single-plane mode=%r (bit-identical, HIGHEST-precision "
             "selects; see docs/KERNEL.md)", h, w, downgraded,
         )
         return downgraded
+    if mode == "rowselm" and one_plane_over:
+        _check_depth_vmem(h, w, hp, wp, split3=False)
+    if mode == "rowsel" and one_plane_over:
+        log.warning(
+            "depth maps %dx%d exceed the single-plane VMEM ceiling; using "
+            "HBM-resident mode='rowselh' (bit-identical; docs/KERNEL.md)",
+            h, w,
+        )
+        return "rowselh"
     _check_depth_vmem(h, w, hp, wp, split3)
     return mode
 
@@ -390,11 +423,148 @@ def _gather_pixels_multi(
     return ds_
 
 
+def _gather_pixels_hbm(
+    depth_ref, view, ui, vi, valid, *, hp, wp, wr, n_wc, n_k, split3,
+    win_s, rem_s, sems,
+):
+    """Exact per-element image gather ``depth[vi, ui]`` with the depth
+    planes RESIDENT IN HBM (``depth_ref``: (V, 3, hp, wp) split planes or
+    (V, hp, wp) single plane, ``memory_space=pl.ANY``) — the whole-map
+    VMEM staging of :func:`_gather_pixels_multi` is replaced by manual
+    per-footprint DMA, so there is NO depth-map size ceiling and depth
+    HBM traffic scales with the voxel workload, not the map size.
+
+    Per (subtile, view) unit:
+
+    1. anchor reductions (same as the VMEM path) -> (v0, u0);
+    2. START one async copy of the (wr, 128*n_wc) anchored window
+       (x3 planes for split3) into ``win_s`` scratch, then overlap the
+       coverage predicate and the four remainder-bbox reductions with the
+       DMA flight time before waiting;
+    3. the n_k one-hot select passes run against the scratch window —
+       indices rebased by (v0, u0), otherwise identical math (and
+       bit-identical results) to the VMEM path;
+    4. the remainder walk DMAs each (8, 128) window into ``rem_s`` on
+       demand — zero copies when the static passes covered everything.
+
+    The reference streams any-size maps through global memory
+    (``Reconstruction/CudaReconstruction.cu:320-331``); this is the TPU
+    equivalent (VMEM ~= shared memory can't hold HD maps; HBM can).
+    """
+    big = jnp.int32(1 << 30)
+    rowmin = jnp.min(jnp.where(valid, vi, big), axis=1, keepdims=True)
+    u_lo = jnp.min(jnp.where(valid, ui, big))
+    v_lo = jnp.min(rowmin)
+    v0 = jnp.clip((v_lo // 8) * 8, 0, hp - wr)
+    u0 = jnp.clip((u_lo // 128) * 128, 0, wp - 128 * n_wc)
+    vi_loc = vi - v0
+    rmin = rowmin - v0
+    wcols = 128 * n_wc
+
+    src = (
+        depth_ref.at[view, :, pl.ds(v0, wr), pl.ds(u0, wcols)]
+        if split3
+        else depth_ref.at[view, pl.ds(v0, wr), pl.ds(u0, wcols)]
+    )
+    dma = pltpu.make_async_copy(src, win_s, sems.at[0])
+    dma.start()
+
+    # Overlap with the DMA: coverage predicate + remainder bbox (none of
+    # it needs the gathered values — cf. _gather_pixels_multi where these
+    # run after the passes).
+    covered = (
+        valid
+        & (vi_loc >= 0)
+        & (vi_loc < wr)
+        & (vi - rowmin < n_k)
+        & (ui >= u0)
+        & (ui < u0 + wcols)
+    )
+    rem = valid & ~covered
+    rv_lo = jnp.min(jnp.where(rem, vi, big))
+    rv_hi = jnp.max(jnp.where(rem, vi, -1))
+    ru_lo = jnp.min(jnp.where(rem, ui, big))
+    ru_hi = jnp.max(jnp.where(rem, ui, -1))
+    rv0 = jnp.clip((rv_lo // 8) * 8, 0, hp - 8)
+    ru0 = jnp.clip((ru_lo // 128) * 128, 0, wp - 128)
+
+    dma.wait()
+    d = jnp.zeros(valid.shape, jnp.float32)
+    for c in range(n_wc):
+        if split3:
+            wins = [win_s[i, :, 128 * c : 128 * (c + 1)] for i in range(3)]
+        else:
+            wins = [win_s[:, 128 * c : 128 * (c + 1)]]
+        cs = u0 + 128 * c
+        u_loc = jnp.clip(ui - cs, 0, 127)
+        sel_c = valid & (ui >= cs) & (ui < cs + 128)
+        for k in range(n_k):
+            if split3:
+                d, _ = _rowsel_pass_sum(
+                    wins, rmin + k, vi_loc, u_loc, sel_c, d, wr
+                )
+            else:
+                (d,), _ = _rowsel_pass(
+                    wins, rmin + k, vi_loc, u_loc, sel_c, (d,), wr
+                )
+
+    # Exact remainder: walk (8, 128) windows over the uncovered bbox,
+    # DMA'ing each from HBM on demand (zero iterations — zero copies —
+    # when the static passes covered the unit).
+    def rem_window(rs, cs, d_):
+        src_w = (
+            depth_ref.at[view, :, pl.ds(rs, 8), pl.ds(cs, 128)]
+            if split3
+            else depth_ref.at[view, pl.ds(rs, 8), pl.ds(cs, 128)]
+        )
+        dma_w = pltpu.make_async_copy(src_w, rem_s, sems.at[1])
+        dma_w.start()
+        dma_w.wait()
+        # split3 remainder reconstructs fp32 by the exact plane sum
+        # (mirrors _window_pass_sum).
+        win = (rem_s[0] + rem_s[1] + rem_s[2]) if split3 else rem_s[:]
+        u_loc = jnp.clip(ui - cs, 0, 127)
+        sel_c = rem & (ui >= cs) & (ui < cs + 128)
+        for rr in range(8):
+            match = sel_c & (vi == rs + rr)
+            d_ = jnp.where(
+                match,
+                jnp.take_along_axis(
+                    jnp.broadcast_to(win[rr][None, :], rem.shape),
+                    u_loc, axis=1,
+                ),
+                d_,
+            )
+        return d_
+
+    def row_cond(c_):
+        return c_[0] <= rv_hi
+
+    def row_body(c_):
+        rs, acc = c_
+
+        def col_cond(cc):
+            return cc[0] <= ru_hi
+
+        def col_body(cc):
+            cs_, cacc = cc
+            cacc = rem_window(
+                pl.multiple_of(rs, 8), pl.multiple_of(cs_, 128), cacc
+            )
+            return cs_ + 128, cacc
+
+        _, acc = jax.lax.while_loop(col_cond, col_body, (ru0, acc))
+        return rs + 8, acc
+
+    _, d = jax.lax.while_loop(row_cond, row_body, (rv0, d))
+    return d
+
+
 def _integrate_kernel_v2(
     tx_ref, ty_ref, tz_ref, tc_ref, depth_ref, vol_ref, out_ref,
-    miss_ref=None,
-    *, h, w, hp, wp, cy, cx, sj, wr, n_wc, n_k, thick, rho, eta, delta,
-    split3=False, track_miss=False, anchors="exact",
+    *refs,
+    h, w, hp, wp, cy, cx, sj, wr, n_wc, n_k, thick, rho, eta, delta,
+    split3=False, track_miss=False, hbm=False, anchors="exact",
 ):
     """Row-select-matmul kernel (v2 fast path).
 
@@ -425,8 +595,18 @@ def _integrate_kernel_v2(
     exact kernel when the total is nonzero (see ``pallas_integrate`` /
     ``OrientedFusionPlan.run``), so results remain exact for arbitrary
     geometry with the remainder cost paid only on actual misses.
+
+    hbm=True (modes 'rowselh'/'rowsel3h'): ``depth_ref`` is the FULL
+    (V, [3,] hp, wp) array in HBM (``pl.ANY``) and ``refs`` carries the
+    (win_s, rem_s, sems) scratch for :func:`_gather_pixels_hbm` — no
+    whole-map VMEM staging, no depth-map size ceiling.
     """
-    vb = depth_ref.shape[0]
+    miss_ref = None
+    if track_miss:
+        (miss_ref,) = refs
+    elif hbm:
+        win_s, rem_s, sems = refs
+    vb = 1 if hbm else depth_ref.shape[0]
     kzn = out_ref.shape[0]  # z-slices per volume block (kz)
 
     @pl.when(pl.program_id(2) == 0)
@@ -459,7 +639,9 @@ def _integrate_kernel_v2(
             for vv in range(vb):
                 view = view0 + vv
                 tx = tx_ref[vv]  # (4, cx)
-                if split3:
+                if hbm:
+                    pass  # depth stays in HBM; windows DMA'd per unit
+                elif split3:
                     # (3, hp, wp): exact hi/mid/lo split planes.
                     planes = tuple(depth_ref.at[vv, i] for i in range(3))
                 else:
@@ -480,8 +662,16 @@ def _integrate_kernel_v2(
                 ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
                 vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
 
-                gp_planes = planes if split3 else (depth,)
-                if track_miss:
+                if hbm:
+                    d = _gather_pixels_hbm(
+                        depth_ref, view, ui, vi, valid,
+                        hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
+                        split3=split3,
+                        win_s=win_s, rem_s=rem_s, sems=sems,
+                    )
+                    valid &= d != -1.0
+                elif track_miss:
+                    gp_planes = planes if split3 else (depth,)
                     ds_, covered = _gather_pixels_multi(
                         gp_planes, ui, vi, valid,
                         hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
@@ -491,6 +681,7 @@ def _integrate_kernel_v2(
                     miss_ref[:] += (valid & ~covered).astype(jnp.int32)
                     valid &= covered & (d != -1.0)
                 else:
+                    gp_planes = planes if split3 else (depth,)
                     d = _gather_pixels_multi(
                         gp_planes, ui, vi, valid,
                         hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
@@ -697,8 +888,9 @@ def _pallas_integrate_impl(
     anchors="exact",
 ):
     cz, cy, cx = volume.shape
-    split3 = mode in ("rowsel3", "rowsel3m")
+    split3 = mode in ("rowsel3", "rowsel3m", "rowsel3h")
     track_miss = mode in ("rowselm", "rowsel3m")
+    hbm = mode in ("rowselh", "rowsel3h")
     if split3:
         nviews, _three, hp, wp = depths.shape
     else:
@@ -709,7 +901,7 @@ def _pallas_integrate_impl(
             f"(subtile_rows={sj}, 128); see pad_volume/OrientedFusionPlan"
         )
     if mode not in ("rowsel", "rowsel3", "rowselm", "rowsel3m"):
-        vb = 1
+        vb = 1  # hbm modes: the whole depth array stays in HBM, no blocks
     # The (vb, [3,] hp, wp) depth block is double-buffered; keep it within
     # DEPTH_VMEM_BUDGET (rowsel3 triples depth bytes). NOTE: vb changes the
     # fp32 accumulation ORDER across grid steps (vb views sum in registers
@@ -733,17 +925,18 @@ def _pallas_integrate_impl(
     # block bytes so the (kz, cy_b, cx) block + the double-buffered depth
     # block stay inside scoped VMEM.
     kz = max(1, int(kz))
-    if mode == "windows":
+    if mode == "windows" or hbm:
         kz = 1
     while kz > 1 and (cz % kz or kz * cy_b * cx * 4 > (4 << 20)):
         kz -= 1
-    if mode in ("rowsel", "rowsel3", "rowselm", "rowsel3m"):
+    if mode in ("rowsel", "rowsel3", "rowselm", "rowsel3m",
+                "rowselh", "rowsel3h"):
         kernel = functools.partial(
             _integrate_kernel_v2,
             h=h, w=w, hp=hp, wp=wp, cy=cy_b, cx=cx, sj=sj,
             wr=min(wr, hp), n_wc=n_wc, n_k=n_k,
             thick=thick, rho=rho, eta=eta, delta=delta,
-            split3=split3, track_miss=track_miss, anchors=anchors,
+            split3=split3, track_miss=track_miss, hbm=hbm, anchors=anchors,
         )
     else:
         kernel = functools.partial(
@@ -765,6 +958,28 @@ def _pallas_integrate_impl(
         )
     else:
         out_shape, out_specs = vol_shape, vol_spec
+    wr_eff = min(wr, hp)
+    if hbm:
+        depth_spec = pl.BlockSpec(memory_space=pl.ANY)
+        win_shape = (3, wr_eff, 128 * n_wc) if split3 else (wr_eff, 128 * n_wc)
+        rem_shape = (3, 8, 128) if split3 else (8, 128)
+        scratch_shapes = [
+            pltpu.VMEM(win_shape, jnp.float32),
+            pltpu.VMEM(rem_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    elif split3:
+        depth_spec = pl.BlockSpec(
+            (vb, 3, hp, wp), lambda k, jb, v: (v, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        scratch_shapes = []
+    else:
+        depth_spec = pl.BlockSpec(
+            (vb, hp, wp), lambda k, jb, v: (v, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        scratch_shapes = []
     flops_per_upd = 40
     res = pl.pallas_call(
         kernel,
@@ -775,24 +990,23 @@ def _pallas_integrate_impl(
             pl.BlockSpec((vb, cy_b, 4), lambda k, jb, v: (v, jb, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((kz, nviews, 4), lambda k, jb, v: (k, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((nviews, 4), lambda k, jb, v: (0, 0), memory_space=pltpu.SMEM),
-            (
-                pl.BlockSpec(
-                    (vb, 3, hp, wp), lambda k, jb, v: (v, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                )
-                if split3
-                else pl.BlockSpec(
-                    (vb, hp, wp), lambda k, jb, v: (v, 0, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            ),
+            depth_spec,
             pl.BlockSpec((kz, cy_b, cx), lambda k, jb, v: (k, jb, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         input_output_aliases={5: 0},
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_upd * cz * cy * cx * nviews,
-            bytes_accessed=4 * cz * cy * cx * 2 + 4 * nviews * hp * wp,
+            bytes_accessed=4 * cz * cy * cx * 2
+            + (
+                # hbm: one (wr, 128*n_wc) window per (subtile, view) unit
+                (3 if split3 else 1)
+                * (cz * (cy // sj) * (cx // 128) * nviews)
+                * wr_eff * 128 * n_wc * 4
+                if hbm
+                else 4 * nviews * hp * wp
+            ),
             transcendentals=0,
         ),
         interpret=INTERPRET,
@@ -895,7 +1109,9 @@ def pallas_integrate(
     h, w = int(depths.shape[1]), int(depths.shape[2])
     if not INTERPRET:
         mode = _vmem_safe_mode(mode, h, w, window_rows)
-    rowsel_family = ("rowsel", "rowsel3", "rowselm", "rowsel3m")
+    rowsel_family = (
+        "rowsel", "rowsel3", "rowselm", "rowsel3m", "rowselh", "rowsel3h"
+    )
     min_h = int(window_rows) if mode in rowsel_family else 8
     ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
     on_device = isinstance(depths, jax.Array)
@@ -907,7 +1123,7 @@ def pallas_integrate(
             depths, ((0, 0), (0, ph), (0, pw)), constant_values=-1.0
         )
     hp, wp = h + ph, w + pw
-    if mode in ("rowsel3", "rowsel3m"):
+    if mode in ("rowsel3", "rowsel3m", "rowsel3h"):
         # split_depth_planes dispatches on array type: device inputs split
         # on device (no tunnel round trip).
         depths = split_depth_planes(depths)  # (V, 3, hp, wp)
@@ -1102,7 +1318,9 @@ class OrientedFusionPlan:
         a device->host round trip per call). Tables/depths are staged in
         kernel layout ONCE here."""
         h, w = self._h, self._w
-        rowsel_family = ("rowsel", "rowsel3", "rowselm", "rowsel3m")
+        rowsel_family = (
+            "rowsel", "rowsel3", "rowselm", "rowsel3m", "rowselh", "rowsel3h"
+        )
         if not INTERPRET:
             mode = _vmem_safe_mode(mode, h, w, window_rows)
         min_h = window_rows if mode in rowsel_family else 8
@@ -1113,7 +1331,7 @@ class OrientedFusionPlan:
         sj = self.subtile_rows
         p = self.params
         track_miss = mode in ("rowselm", "rowsel3m")
-        split3 = mode in ("rowsel3", "rowsel3m")
+        split3 = mode in ("rowsel3", "rowsel3m", "rowsel3h")
         staged_key = (ph, pw, split3)
         staged = self._staged_cache.get(staged_key)
         if staged is None:

@@ -379,9 +379,10 @@ def test_depth_vmem_ceiling_guard():
 
 
 def test_vmem_safe_mode_downgrade():
-    """Split-plane modes auto-downgrade (bit-identical single-plane
-    counterparts) when 3 planes blow the ceiling but 1 fits; raise only
-    when even 1 plane does not fit."""
+    """Oversized maps are routed to a bit-identical mode instead of a
+    Mosaic-allocator failure: 3-plane over / 1-plane fits -> single-plane
+    VMEM mode; 1-plane over -> HBM-resident mode (round 3: no size
+    ceiling at all). Diagnostics never switch residency silently."""
     import pytest
 
     from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
@@ -392,7 +393,48 @@ def test_vmem_safe_mode_downgrade():
     assert _vmem_safe_mode("rowsel3", 768, 1024, 64) == "rowsel"
     assert _vmem_safe_mode("rowsel3m", 768, 1024, 64) == "rowselm"
     assert _vmem_safe_mode("rowsel", 768, 1024, 64) == "rowsel"
+    # Beyond the single-plane ceiling: HBM-resident modes, no error.
+    assert _vmem_safe_mode("rowsel3", 1536, 2048, 64) == "rowsel3h"
+    assert _vmem_safe_mode("rowsel", 1536, 2048, 64) == "rowselh"
+    assert _vmem_safe_mode("rowsel3h", 480, 640, 64) == "rowsel3h"
+    assert _vmem_safe_mode("rowselh", 1536, 2048, 64) == "rowselh"
     with pytest.raises(ValueError, match="VMEM"):
-        _vmem_safe_mode("rowsel3", 1536, 2048, 64)
+        _vmem_safe_mode("rowsel3m", 1536, 2048, 64)
     with pytest.raises(ValueError, match="VMEM"):
-        _vmem_safe_mode("rowsel", 1536, 2048, 64)
+        _vmem_safe_mode("rowselm", 1536, 2048, 64)
+
+
+def test_hbm_modes_match_vmem_modes_exactly():
+    """'rowselh'/'rowsel3h' (HBM-resident depth planes, per-footprint DMA)
+    must be bit-identical to the whole-map VMEM modes — residency affects
+    speed and capacity, never values."""
+    views = sphere_scene(n_views=3, width=144, height=64, focal=60.0)
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    ref = np.asarray(
+        KP.integrate_views_oriented(vol, grid, views, PARAMS, mode="rowsel")
+    )
+    for mode in ("rowselh", "rowsel3h"):
+        got = np.asarray(
+            KP.integrate_views_oriented(vol, grid, views, PARAMS, mode=mode)
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_hbm_mode_degenerate_tunables_hit_remainder_dma_walk():
+    """window_rows=8 / rowsel_passes=1 push most voxels through the HBM
+    remainder walk (per-window DMA); results must be identical."""
+    views = sphere_scene(n_views=3, width=144, height=64, focal=60.0)
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    ref = np.asarray(
+        KP.integrate_views_oriented(vol, grid, views, PARAMS, mode="rowsel")
+    )
+    for wr_, nk_ in ((8, 1), (32, 4)):
+        got = np.asarray(
+            KP.integrate_views_oriented(
+                vol, grid, views, PARAMS, mode="rowsel3h",
+                window_rows=wr_, rowsel_passes=nk_,
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
