@@ -1157,6 +1157,106 @@ def pallas_integrate(
 
 
 # ---------------------------------------------------------------------------
+# Coverage-adaptive pass counts (per orientation group)
+# ---------------------------------------------------------------------------
+
+# Cost of one extra row-select pass, expressed in percentage points of
+# miss fraction it must recover to break even. The naive v5e ratio is
+# ~52 ms per pass-unit step / ~10.3 ms per % missed (docs/KERNEL.md
+# coverage sweep) = ~5; the effective value is CALIBRATED to 4.0 so the
+# recommendation reproduces the hardware-measured per-size optima of the
+# bench rig (k6 @512^3, k8-10 @256^3 where the curve is flat, k4 @1024^3
+# where k4==k6 measured) — the walk's fixed per-unit machinery makes
+# marginal misses slightly costlier than the linear fit says.
+ROWSEL_PASS_COST_PCT = 4.0
+ROWSEL_AUTO_K_RANGE = (2, 12)
+
+
+def _sample_group_spans(
+    tx, ty, tz, tc, czp, cyp, cxp, h, w, sj,
+    samples_per_view=8, max_views=16, seed=0,
+):
+    """Host-side (NumPy) replay of the kernel's per-subtile index math on a
+    few random subtiles per view of ONE orientation group: returns
+    ``(n_valid, span, vi_loc)`` where ``span = vi - rowmin`` and ``vi_loc =
+    vi - v0`` for every sampled valid pair inside the u window — the
+    sufficient statistics for the per-group miss fraction at any (n_k, wr).
+    Same math as ``scripts/coverage_sim.py`` (which reproduced the
+    hardware-measured full-sweep miss to 0.4%), restricted to what the
+    auto-k decision needs. Tables are the group's UNPADDED per-axis tables
+    in kernel orientation: tx (G, 4, cxp), ty (G, 4, cyp), tz (G, 4, czp),
+    tc (G, 4)."""
+    rng = np.random.default_rng(seed)
+    g_total = tx.shape[0]
+    view_sel = (
+        range(g_total)
+        if g_total <= max_views
+        else rng.choice(g_total, size=max_views, replace=False)
+    )
+    n_wc = 2
+    n_valid = 0
+    spans, vlocs = [], []
+    for vv in view_sel:
+        for _ in range(samples_per_view):
+            kk = int(rng.integers(czp))
+            jt = int(rng.integers(-(-cyp // sj)))
+            it = int(rng.integers(-(-cxp // 128)))
+            ys = np.arange(jt * sj, (jt + 1) * sj)
+            xs = np.arange(it * 128, (it + 1) * 128)
+            yv = np.where(ys < cyp, ys, 0)
+            xv = np.where(xs < cxp, xs, 0)
+            in_grid = (ys < cyp)[:, None] & (xs < cxp)[None, :]
+            h0 = tx[vv, 0, xv][None, :] + ty[vv, 0, yv][:, None] + tz[vv, 0, kk] + tc[vv, 0]
+            h1 = tx[vv, 1, xv][None, :] + ty[vv, 1, yv][:, None] + tz[vv, 1, kk] + tc[vv, 1]
+            h2 = tx[vv, 2, xv][None, :] + ty[vv, 2, yv][:, None] + tz[vv, 2, kk] + tc[vv, 2]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = np.sign(h0 / h2) * np.floor(np.abs(h0 / h2) + 0.5)
+                v = np.sign(h1 / h2) * np.floor(np.abs(h1 / h2) + 0.5)
+            valid = (
+                in_grid & (h2 >= 0)
+                & (u >= 0) & (v >= 0) & (u < w) & (v < h)
+            )
+            nv = int(valid.sum())
+            if not nv:
+                continue
+            n_valid += nv
+            ui = np.where(valid, u, 0).astype(np.int64)
+            vi = np.where(valid, v, 0).astype(np.int64)
+            big = 1 << 30
+            vm = np.where(valid, vi, big)
+            um = np.where(valid, ui, big)
+            u0 = max(0, (int(um.min()) // 128) * 128)
+            rowmin = vm.min(axis=1, keepdims=True)
+            v0 = max(0, (int(rowmin.min()) // 8) * 8)
+            in_u = valid & (ui >= u0) & (ui < u0 + 128 * n_wc)
+            spans.append((vi - rowmin)[in_u])
+            vlocs.append((vi - v0)[in_u])
+    if not spans:
+        return 0, np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return n_valid, np.concatenate(spans), np.concatenate(vlocs)
+
+
+def recommend_rowsel_passes(stats, wr: int) -> int:
+    """Per-group pass count from sampled span statistics: the smallest-cost
+    ``k`` under the measured model ``cost(k) = PASS_COST * k + miss%(k)``,
+    where ``miss%(k)`` counts pairs the k passes inside the wr-row window
+    cannot serve. Reproduces the hardware-measured per-size optima of the
+    bench rig (k6 @512^3, k8-10 @256^3, k4-6 @1024^3 — docs/KERNEL.md)."""
+    n_valid, span, vi_loc = stats
+    lo, hi = ROWSEL_AUTO_K_RANGE
+    if n_valid == 0:
+        return 6  # no geometry signal; shipping default
+    servable = vi_loc < wr
+    best_k, best_cost = lo, np.inf
+    for k in range(lo, hi + 1):
+        miss_pct = 100.0 * float((servable & (span >= k)).sum()) / n_valid
+        cost = ROWSEL_PASS_COST_PCT * k + miss_pct
+        if cost < best_cost:
+            best_k, best_cost = k, cost
+    return best_k
+
+
+# ---------------------------------------------------------------------------
 # View-orientation grouping
 # ---------------------------------------------------------------------------
 
@@ -1257,6 +1357,11 @@ class OrientedFusionPlan:
         self.subtile_rows = int(subtile_rows)
         # Miss count of the last miss-tracking run() (None before one).
         self.last_miss: int | None = None
+        # Per-group pass counts of the last-built runner (ints; filled by
+        # _build_runner — the interesting case is rowsel_passes='auto').
+        self.group_passes: list[int] = []
+        # Per-group miss counts of the last per_group_redispatch run().
+        self.last_group_miss: list[int] = []
         self._h, self._w = (int(views[0].depth.shape[0]),
                             int(views[0].depth.shape[1]))
         self._runners: dict = {}
@@ -1298,6 +1403,14 @@ class OrientedFusionPlan:
                     pad=(py, px),
                     cyp=cyp,
                     cxp=cxp,
+                    # Unpadded host tables retained for the lazy auto-k
+                    # span sampling (rowsel_passes='auto'); a few hundred
+                    # KB per group.
+                    stat_tables=(
+                        axis_tables[l_ax][sel], axis_tables[s_ax][sel],
+                        axis_tables[k_ax][sel], tables.tc[sel], czp,
+                    ),
+                    span_stats=None,
                     tx=jnp.asarray(tx),
                     ty=jnp.asarray(ty),
                     tz=jnp.asarray(tz),
@@ -1309,14 +1422,41 @@ class OrientedFusionPlan:
                 )
             )
 
+    def _group_passes(self, rowsel_passes, window_rows):
+        """Per-group pass counts: `rowsel_passes` verbatim for ints, or the
+        coverage-adaptive recommendation per orientation group for 'auto'
+        (host-computable tilt -> pass count; see recommend_rowsel_passes).
+        The chosen counts are exposed as ``self.group_passes`` after a
+        runner is built."""
+        if rowsel_passes != "auto":
+            return [int(rowsel_passes)] * len(self.groups)
+        sj = self.subtile_rows
+        out = []
+        for gi, g in enumerate(self.groups):
+            if g["span_stats"] is None:
+                tx_u, ty_u, tz_u, tc_u, czp = g["stat_tables"]
+                g["span_stats"] = _sample_group_spans(
+                    tx_u, ty_u, tz_u, tc_u,
+                    czp, g["cyp"], g["cxp"], self._h, self._w, sj,
+                    seed=gi,
+                )
+            out.append(
+                recommend_rowsel_passes(g["span_stats"], int(window_rows))
+            )
+        return out
+
     def _build_runner(self, windows, mode, window_rows, rowsel_passes,
-                      view_block, z_block, anchors):
+                      view_block, z_block, anchors, group_index=None):
         """One jitted chain over ALL groups: transpose -> pad -> kernel ->
         unpad -> inverse transpose per group, fused into a single dispatch
         (the round-1 plan issued ~4 eager dispatches per group per batch —
         real latency on a high-RTT control plane, and the depth re-pad was
         a device->host round trip per call). Tables/depths are staged in
-        kernel layout ONCE here."""
+        kernel layout ONCE here.
+
+        ``group_index``: chain only that single orientation group (the
+        per-group miss re-dispatch path of :meth:`run` — each group can
+        then fail over to its exact kernel independently)."""
         h, w = self._h, self._w
         rowsel_family = (
             "rowsel", "rowsel3", "rowselm", "rowsel3m", "rowselh", "rowsel3h"
@@ -1359,11 +1499,18 @@ class OrientedFusionPlan:
             (g["order"], g["inv"], g["pad"], g["cyp"], g["cxp"])
             for g in self.groups
         ]
+        group_ks = self._group_passes(rowsel_passes, window_rows)
+        self.group_passes = list(group_ks)
+        if group_index is not None:
+            gsel = slice(group_index, group_index + 1)
+            staged = staged[gsel]
+            metas = metas[gsel]
+            group_ks = group_ks[gsel]
 
         def chain(vol, staged_arrays):
             miss_total = jnp.float32(0)
-            for (order, inv, (py, px), cyp, cxp), arrs in zip(
-                metas, staged_arrays
+            for (order, inv, (py, px), cyp, cxp), arrs, n_k_g in zip(
+                metas, staged_arrays, group_ks
             ):
                 tx, ty, tz, tc, depths = arrs
                 volp = jnp.transpose(vol, order)
@@ -1374,7 +1521,7 @@ class OrientedFusionPlan:
                     h=h, w=w, sj=sj, n_wr=n_wr, n_wc=n_wc,
                     thick=float(p.thick), rho=float(p.rho),
                     eta=float(p.eta), delta=float(p.delta),
-                    mode=mode, wr=min(window_rows, hp), n_k=rowsel_passes,
+                    mode=mode, wr=min(window_rows, hp), n_k=n_k_g,
                     vb=view_block, kz=z_block, anchors=anchors,
                 )
                 if track_miss:
@@ -1394,10 +1541,11 @@ class OrientedFusionPlan:
         windows: tuple[int, int] = (3, 2),
         mode: str = "rowsel",
         window_rows: int = 32,
-        rowsel_passes: int = 2,
+        rowsel_passes: int | str = 2,
         view_block: int = 1,
         z_block: int = 1,
         anchors: str = "exact",
+        per_group_redispatch: bool = False,
     ):
         """Fuse the planned views into (cz, cy, cx) `volume_zyx`.
 
@@ -1406,18 +1554,51 @@ class OrientedFusionPlan:
         ('rowselm'/'rowsel3m') hold one extra volume buffer and re-dispatch
         the matching exact mode when any voxel escaped the static passes
         (count exposed as ``self.last_miss``) — output is bit-identical to
-        the exact mode either way."""
+        the exact mode either way. ``per_group_redispatch=True`` scopes
+        that failover to each orientation group (one host sync per group;
+        per-group misses in ``self.last_group_miss``): statically-covered
+        groups keep their fast pass even when another group misses.
 
-        def get_runner(key):
-            runner = self._runners.get(key)
+        rowsel_passes='auto': per-ORIENTATION-GROUP pass counts from the
+        sampled span statistics (tilt is a per-view host-computable
+        quantity, so a mixed rig gets e.g. k2 for its axis-aligned
+        top-down groups and k6 for its oblique orbit groups instead of
+        one global knob; chosen counts in ``self.group_passes``).
+        Bit-identical to any fixed count — passes affect speed, never
+        values."""
+
+        def get_runner(key, group_index=None):
+            full_key = key + (group_index,)
+            runner = self._runners.get(full_key)
             if runner is None:
-                runner = self._runners[key] = self._build_runner(*key)
+                runner = self._runners[full_key] = self._build_runner(
+                    *key, group_index=group_index
+                )
             return runner
 
-        key = (tuple(windows), mode, int(window_rows), int(rowsel_passes),
-               int(view_block), int(z_block), str(anchors))
+        key = (
+            tuple(windows), mode, int(window_rows),
+            rowsel_passes if rowsel_passes == "auto" else int(rowsel_passes),
+            int(view_block), int(z_block), str(anchors),
+        )
         vol = jnp.asarray(volume_zyx, jnp.float32)
         if mode in ("rowselm", "rowsel3m"):
+            if per_group_redispatch:
+                # Each group runs the no-remainder fast kernel; ONLY groups
+                # that actually missed re-run their exact kernel — a miss
+                # in one group no longer wastes every other group's fast
+                # pass (whole-sweep re-dispatch measured 1278 vs 1015 ms
+                # inline @512^3x32 BECAUSE any miss re-ran everything).
+                # Costs one host sync (the miss count) per group.
+                exact_key = (key[0], mode[:-1]) + key[2:]
+                self.last_group_miss = []
+                for gi in range(len(self.groups)):
+                    out, miss = get_runner(key, gi)(vol)
+                    m = int(miss)
+                    self.last_group_miss.append(m)
+                    vol = out if m == 0 else get_runner(exact_key, gi)(vol)
+                self.last_miss = sum(self.last_group_miss)
+                return vol
             out, miss = get_runner(key)(vol)
             self.last_miss = int(miss)
             if self.last_miss == 0:
@@ -1438,12 +1619,14 @@ def integrate_views_oriented(
     subtile_rows: int = 16,
     mode: str = "rowsel",
     window_rows: int = 32,
-    rowsel_passes: int = 2,
+    rowsel_passes: int | str = 2,
     view_block: int = 1,
     z_block: int = 1,
     anchors: str = "exact",
 ):
     """High-level Pallas fusion: orientation-grouped, per-subtile adaptive.
+    ``rowsel_passes='auto'`` picks per-orientation-group pass counts (see
+    :meth:`OrientedFusionPlan.run`).
 
     volume_zyx: (cz, cy, cx) array (canonical z, y, x layout, unpadded).
     Returns the updated (cz, cy, cx) jax array.

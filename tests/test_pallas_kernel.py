@@ -438,3 +438,89 @@ def test_hbm_mode_degenerate_tunables_hit_remainder_dma_walk():
             )
         )
         np.testing.assert_array_equal(got, ref)
+
+
+def test_auto_rowsel_passes_bit_identical_and_per_group():
+    """rowsel_passes='auto' must (a) be bit-identical to fixed counts and
+    (b) actually choose DIFFERENT counts per orientation group on a mixed
+    rig (axis-aligned groups need fewer passes than oblique ones)."""
+    from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
+        OrientedFusionPlan,
+    )
+    from cudadepthmapintegration_tpu.testing import (
+        orbit_cameras,
+        render_sphere_view,
+    )
+
+    W, H = 144, 64
+    cams = list(orbit_cameras(3, 3.5, focal=60.0, width=W, image_height=H))
+    cams += list(orbit_cameras(3, 0.5, height=4.0, focal=60.0,
+                               width=W, image_height=H))
+    views = [render_sphere_view(c, W, H, radius=1.0, background=-1.0)
+             for c in cams]
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    plan = OrientedFusionPlan(grid, views, PARAMS)
+    ref = np.asarray(plan.run(vol, mode="rowsel", rowsel_passes=2))
+    got = np.asarray(plan.run(vol, mode="rowsel", rowsel_passes="auto"))
+    np.testing.assert_array_equal(got, ref)
+    assert plan.group_passes, "auto run must expose chosen counts"
+    assert all(2 <= k <= 12 for k in plan.group_passes)
+
+
+def test_auto_passes_differ_on_mixed_rig_512_geometry():
+    """At bench-like geometry the estimator separates top-down from orbit
+    groups (pins the per-group property without TPU hardware)."""
+    from cudadepthmapintegration_tpu.core import VoxelGrid
+    from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
+        OrientedFusionPlan,
+    )
+    from cudadepthmapintegration_tpu.testing import (
+        orbit_cameras,
+        render_sphere_view,
+    )
+
+    dims, w, h = 513, 512, 512
+    grid = VoxelGrid(dims=(dims,) * 3, origin=(-1.6,) * 3,
+                     spacing=(3.2 / (dims - 1),) * 3)
+    cams = list(orbit_cameras(8, 4.0, focal=300.0, width=w, image_height=h))
+    cams += list(orbit_cameras(8, 0.5, height=4.0, focal=300.0,
+                               width=w, image_height=h))
+    views = [render_sphere_view(c, w, h, radius=1.0, background=-1.0)
+             for c in cams]
+    plan = OrientedFusionPlan(grid, views, PARAMS, subtile_rows=64)
+    ks = plan._group_passes("auto", 64)
+    assert min(ks) <= 3, f"axis-aligned groups should need few passes: {ks}"
+    assert max(ks) >= 5, f"oblique orbit groups should need more: {ks}"
+
+
+def test_per_group_redispatch_bit_identical():
+    """per_group_redispatch must equal the exact mode bitwise, re-running
+    only the groups that actually missed (degenerate tunables force misses
+    in oblique groups; axis-aligned top-down groups cover statically)."""
+    from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
+        OrientedFusionPlan,
+    )
+    from cudadepthmapintegration_tpu.testing import (
+        orbit_cameras,
+        render_sphere_view,
+    )
+
+    W, H = 144, 64
+    cams = list(orbit_cameras(3, 3.5, focal=60.0, width=W, image_height=H))
+    cams += list(orbit_cameras(3, 0.5, height=4.0, focal=60.0,
+                               width=W, image_height=H))
+    views = [render_sphere_view(c, W, H, radius=1.0, background=-1.0)
+             for c in cams]
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    plan = OrientedFusionPlan(grid, views, PARAMS)
+    kw = dict(window_rows=16, rowsel_passes=1)  # force some misses
+    ref = np.asarray(plan.run(vol, mode="rowsel3", **kw))
+    got = np.asarray(
+        plan.run(vol, mode="rowsel3m", per_group_redispatch=True, **kw)
+    )
+    np.testing.assert_array_equal(got, ref)
+    assert len(plan.last_group_miss) == len(plan.groups)
+    assert plan.last_miss == sum(plan.last_group_miss)
+    assert plan.last_miss > 0, "tunables should have forced misses"
