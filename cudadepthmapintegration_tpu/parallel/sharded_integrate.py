@@ -33,6 +33,7 @@ from ..core.grid import VoxelGrid
 from ..core.ray_potential import RayPotential
 from ..core.view import DepthMapView
 from ..ops.integrate import projection_tables, _view_contribution
+from .frustum import slab_view_mask
 
 __all__ = ["ShardedTSDFIntegrator"]
 
@@ -78,7 +79,19 @@ class ShardedTSDFIntegrator:
         params: RayPotential,
         mesh: Mesh,
         dtype=jnp.float32,
+        slab_interleave: bool = False,
     ):
+        """``slab_interleave=True`` assigns z slices to shards round-robin
+        (shard d owns original slices d, d+nz, d+2*nz, ...) instead of one
+        contiguous slab each. For rigs whose coverage concentrates on few
+        contiguous slabs (e.g. an equatorial orbit under frustum culling)
+        this balances per-shard work at the cost of making per-shard
+        frustum culling useless (each shard's slices span the whole grid).
+        Implemented as an EXACT z-permutation: the volume lives permuted
+        on device, tz tables are permuted at staging, and :meth:`result`
+        unpermutes — bit-identical to contiguous slabs (each z slice is
+        fused independently; the kernel's k loop has no cross-slice
+        state)."""
         self.grid = grid
         self.params = params.validate()
         self.mesh = mesh
@@ -90,6 +103,13 @@ class ShardedTSDFIntegrator:
                 f"grid z cells ({cz}) must divide over the z mesh axis ({nz});"
                 " pad the grid dims"
             )
+        self.slab_interleave = bool(slab_interleave)
+        # Round-robin layout: new slice d*m + j holds original slice
+        # j*nz + d, so shard d's contiguous block is original slices d::nz.
+        m = cz // nz
+        order = np.arange(cz).reshape(m, nz).T.reshape(-1)  # new <- old
+        self._z_order = order if self.slab_interleave else None
+        self._z_inv = np.argsort(order) if self.slab_interleave else None
         self.vol_sharding = NamedSharding(mesh, P("z", None, None))
         self.volume = None
         self.views_fused = 0
@@ -115,12 +135,18 @@ class ShardedTSDFIntegrator:
                 )
             self.volume = self._zeros()
         else:
-            self.volume = jax.device_put(
-                np.asarray(initial, self.dtype), self.vol_sharding
-            )
+            init = np.asarray(initial, self.dtype)
+            if self._z_order is not None:
+                init = init[self._z_order]
+            self.volume = jax.device_put(init, self.vol_sharding)
         self.views_fused = 0
         self.volume_sweeps = 0
         return self
+
+    def _permute_tz(self, tz: np.ndarray) -> np.ndarray:
+        """Apply the slab-interleave z-permutation to a (V, 4, cz) table
+        (identity when contiguous slabs are in use)."""
+        return tz if self._z_order is None else tz[:, :, self._z_order]
 
     def integrate(
         self,
@@ -138,7 +164,9 @@ class ShardedTSDFIntegrator:
         mesh = self.mesh
         # tz is (V, 4, cz): shard its z extent like the volume; everything
         # else is replicated (each device sees all views).
-        tz_sh = jax.device_put(t.tz, NamedSharding(mesh, P(None, None, "z")))
+        tz_sh = jax.device_put(
+            self._permute_tz(t.tz), NamedSharding(mesh, P(None, None, "z"))
+        )
         repl = NamedSharding(mesh, P())
         self.volume = _integrate_all_views(
             self.volume,
@@ -214,7 +242,7 @@ class ShardedTSDFIntegrator:
             self.volume,
             view_sh(t.tx, P("v", None, None)),
             view_sh(t.ty, P("v", None, None)),
-            view_sh(t.tz, P("v", None, "z")),
+            view_sh(self._permute_tz(t.tz), P("v", None, "z")),
             view_sh(t.tc, P("v", None)),
             view_sh(depths, P("v", None, None)),
         )
@@ -248,6 +276,7 @@ class ShardedTSDFIntegrator:
         window_rows: int = 32,
         rowsel_passes: int = 2,
         z_block: int = 1,
+        frustum_cull: bool = False,
     ):
         """Stage one view batch for spatially-sharded Pallas fusion:
         returns ``(jitted_step, device_args)`` — ONE donated shard_map
@@ -305,6 +334,16 @@ class ShardedTSDFIntegrator:
         mesh = self.mesh
         cz, cy, cx = self.grid.volume_shape
         params = self.params
+        nz = mesh.shape["z"]
+        cull_mask = None
+        if frustum_cull:
+            if self._z_order is not None:
+                raise ValueError(
+                    "frustum_cull does not compose with slab_interleave "
+                    "(interleaved shards span the whole grid)"
+                )
+            # Cameras only — conservative; thresholding doesn't move them.
+            cull_mask = slab_view_mask(self.grid, views, nz, int(h), int(w))
         kernel_kw = dict(
             windows=windows, subtile_rows=subtile_rows,
             mode=mode, window_rows=window_rows, rowsel_passes=rowsel_passes,
@@ -330,6 +369,8 @@ class ShardedTSDFIntegrator:
 
         repl = NamedSharding(mesh, P())
         tz_sh = NamedSharding(mesh, P(None, None, "z"))
+        tz_all = self._permute_tz(t.tz)
+        m_slab = cz // nz
         metas = []
         group_args = []
         for transposed, idxs in sorted(groups.items()):
@@ -339,15 +380,46 @@ class ShardedTSDFIntegrator:
             py, px = (-cyl) % subtile_rows, (-cxl) % 128
             tab_sub = t.tx if transposed else t.ty
             tab_lane = t.ty if transposed else t.tx
-            tx_g = pad_axis_table(tab_lane[sel], cxl + px)
-            ty_g = pad_axis_table(tab_sub[sel], cyl + py)
-            metas.append((transposed, py, px))
+            if cull_mask is None:
+                tx_g = pad_axis_table(tab_lane[sel], cxl + px)
+                ty_g = pad_axis_table(tab_sub[sel], cyl + py)
+                metas.append((transposed, py, px, None))
+                group_args.append((
+                    jax.device_put(tz_all[sel], tz_sh),
+                    jax.device_put(tx_g, repl),
+                    jax.device_put(ty_g, repl),
+                    jax.device_put(t.tc[sel], repl),
+                    jax.device_put(depths_all[sel], repl),
+                ))
+                continue
+            # Frustum-culled: per-shard view subsets, dummy-padded to the
+            # group max (multiple of 8 to bound jit shape variants), every
+            # table stacked on a leading shard axis and z-sharded so each
+            # device receives only its own rows.
+            from ..kernels.integrate_pallas import _pad_views_invalid
+
+            tx_all = pad_axis_table(tab_lane, cxl + px)
+            ty_all = pad_axis_table(tab_sub, cyl + py)
+            shard_sels = [sel[cull_mask[s_, sel]] for s_ in range(nz)]
+            gmax = max(8, -(-max(len(x) for x in shard_sels) // 8) * 8)
+            txs, tys, tzs, tcs, dss = [], [], [], [], []
+            for s_, ssel in enumerate(shard_sels):
+                tx_s, ty_s, tz_s, tc_s, d_s = _pad_views_invalid(
+                    tx_all[ssel], ty_all[ssel],
+                    tz_all[ssel][:, :, s_ * m_slab : (s_ + 1) * m_slab],
+                    t.tc[ssel], depths_all[ssel], gmax,
+                )
+                txs.append(tx_s); tys.append(ty_s); tzs.append(tz_s)
+                tcs.append(tc_s); dss.append(d_s)
+            z_lead = lambda a: jax.device_put(
+                np.stack(a), NamedSharding(
+                    mesh, P(*(("z",) + (None,) * (a[0].ndim)))
+                )
+            )
+            metas.append((transposed, py, px, gmax))
             group_args.append((
-                jax.device_put(t.tz[sel], tz_sh),
-                jax.device_put(tx_g, repl),
-                jax.device_put(ty_g, repl),
-                jax.device_put(t.tc[sel], repl),
-                jax.device_put(depths_all[sel], repl),
+                z_lead(tzs), z_lead(txs), z_lead(tys), z_lead(tcs),
+                z_lead(dss),
             ))
 
         # ONE donated jit dispatch chaining every group (mirrors
@@ -361,8 +433,15 @@ class ShardedTSDFIntegrator:
         if step is None:
 
             def chain(vol_shard, groups_arrs):
-                for (transposed, py, px), arrs in zip(metas, groups_arrs):
+                for (transposed, py, px, gmax), arrs in zip(
+                    metas, groups_arrs
+                ):
                     tz_, tx_, ty_, tc_, depths_ = arrs
+                    if gmax is not None:
+                        # Culled path: drop the leading per-shard axis.
+                        tz_, tx_, ty_, tc_, depths_ = (
+                            tz_[0], tx_[0], ty_[0], tc_[0], depths_[0]
+                        )
                     v = vol_shard
                     if transposed:
                         v = jnp.transpose(v, (0, 2, 1))
@@ -388,7 +467,15 @@ class ShardedTSDFIntegrator:
                         P("z", None, None),
                         tuple(
                             (P(None, None, "z"), P(), P(), P(), P())
-                            for _ in metas
+                            if gmax is None
+                            else (
+                                P("z", None, None, None),
+                                P("z", None, None, None),
+                                P("z", None, None, None),
+                                P("z", None, None),
+                                P("z", None, None, None),
+                            )
+                            for (_, _, _, gmax) in metas
                         ),
                     ),
                     out_specs=P("z", None, None),
@@ -416,4 +503,7 @@ class ShardedTSDFIntegrator:
     def result(self) -> np.ndarray:
         if self.volume is None:
             self.reset()
-        return np.asarray(jax.device_get(self.volume))
+        vol = np.asarray(jax.device_get(self.volume))
+        if self._z_inv is not None:
+            vol = vol[self._z_inv]
+        return vol

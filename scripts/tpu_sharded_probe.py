@@ -71,7 +71,19 @@ def rigs():
         )
         for i in range(N_VIEWS)
     ]
-    return {"equatorial": eq, "top-down": td, "down-scan": scan}
+    # Narrow-FOV side scan along z: each camera's frustum covers only a
+    # few z slabs — the frustum-culling case (the orbit rigs see the whole
+    # grid from every view, so nothing can ever cull there).
+    zscan = [
+        look_at_camera(
+            (-4.5, 0.0, -1.2 + 2.4 * i / (N_VIEWS - 1)),
+            (0.0, 0.0, -1.2 + 2.4 * i / (N_VIEWS - 1)),
+            focal=2500.0, width=W, height=H,
+        )
+        for i in range(N_VIEWS)
+    ]
+    return {"equatorial": eq, "top-down": td, "down-scan": scan,
+            "side-scan": zscan}
 
 
 def full_grid():
@@ -164,6 +176,21 @@ def main():
         aslab = auto_slab(views)
         if aslab is not None:
             rows.append(("slab AUTO-axis, SHARDED  ", time_sharded, aslab))
+        if rig_name == "side-scan":
+            # Frustum-culled staging: per-shard view lists (here 1 shard =
+            # the slab). Rate is computed against the UNCULLED workload
+            # (cells x all views), so the win reads directly; checksums
+            # must match the unculled row bitwise.
+            from cudadepthmapintegration_tpu.parallel import slab_view_mask
+
+            kept = int(slab_view_mask(slab, views, 1).sum())
+            print(f"  [frustum: {kept}/{len(views)} views touch the slab]",
+                  flush=True)
+            rows.append((
+                "slab SHARDED CULLED      ",
+                lambda g, v: time_sharded(g, v, dict(KW, frustum_cull=True)),
+                slab,
+            ))
         for label, fn, grid in rows:
             try:
                 ups, checksum = fn(grid, views)
