@@ -85,22 +85,27 @@ def _morton_order(points: np.ndarray) -> np.ndarray:
 def _colorize_kernel(
     pts_ref,  # (1, tb*3*sj, 128) vertex coords: per tile, sj rows x/y/z
     proj_ref,  # (V, 12) SMEM: rows of K4@RT (3, 4) flattened
-    planes_ref,  # (1, 3, hp, wp) r/g/b planes (uint8-valued f32), one DMA
-    out_ref,  # (1, 1, 3, tb*sj, 128) r/g/b samples for (tile-block, view)
+    planes_ref,  # (vb, 3, hp, wp) r/g/b planes (uint8-valued f32), one DMA
+    out_ref,  # (1, vb, 3, tb*sj, 128) r/g/b samples per (tile-block, view)
     *, h, w, hp, wp, sj, tb, wr, n_wc, n_k, z_test, probe=0,
     static_tiles=False,
 ):
-    view = pl.program_id(1)
-    planes = tuple(planes_ref.at[0, i] for i in range(3))
-    # Per-view projection scalars are tile-invariant: read SMEM once per
-    # grid step, not per fori iteration (Mosaic does not hoist them).
-    pc = [proj_ref[view, i] for i in range(12)]
+    # vb views share one grid step (the integrate kernel's view_block
+    # trick): the per-step fixed cost — measured as ~96% of the kernel
+    # once the remainder machinery is gone, the round-2.6 "structural
+    # floor" — amortizes over vb (view, tile-block) units.
+    vb = planes_ref.shape[0]
+    view0 = pl.program_id(1) * vb
 
     # tb tiles share one grid step: the ~3*hp*wp*4-byte plane DMA and the
     # per-step fixed cost amortize over tb subtiles (measured 12 us/step at
     # tb=1 vs ~1.7 us/subtile in the integrate kernel, whose grid steps
     # carry 32 subtiles). All row offsets are multiples of sj (>= 8).
-    def tile_body(t, _):
+    def view_tile_body(vv, t):
+        planes = tuple(planes_ref.at[vv, i] for i in range(3))
+        # Per-view projection scalars are tile-invariant: read SMEM once
+        # per view, not per fori iteration (Mosaic does not hoist them).
+        pc = [proj_ref[view0 + vv, i] for i in range(12)]
         if probe >= 4:
             # probe=4: static addressing only (loads/stores slot 0,
             # constant samples) — isolates the dynamic-ds + arithmetic
@@ -109,7 +114,7 @@ def _colorize_kernel(
                 xs = pts_ref[0, 0:sj, :]
                 for i in range(3):
                     out_ref[0, 0, i, 0:sj, :] = xs
-            return 0
+            return
         base = t * 3 * sj
         xs = pts_ref[0, pl.ds(base, sj), :]
         ys = pts_ref[0, pl.ds(base + sj, sj), :]
@@ -117,8 +122,8 @@ def _colorize_kernel(
         if probe == 3:
             # probe=3: dynamic loads/stores, no projection/gather math.
             for i, smp in enumerate((xs, ys, zs)):
-                out_ref[0, 0, i, pl.ds(t * sj, sj), :] = smp
-            return 0
+                out_ref[0, vv, i, pl.ds(t * sj, sj), :] = smp
+            return
 
         def hom(r):
             return (
@@ -157,9 +162,13 @@ def _colorize_kernel(
                 precisions=(jax.lax.Precision.DEFAULT,) * 3,
             )
         for i, smp in enumerate(samples):
-            out_ref[0, 0, i, pl.ds(t * sj, sj), :] = jnp.where(
+            out_ref[0, vv, i, pl.ds(t * sj, sj), :] = jnp.where(
                 valid, smp, -1.0
             )
+
+    def tile_body(t, _):
+        for vv in range(vb):
+            view_tile_body(vv, t)
         return 0
 
     if static_tiles:
@@ -174,16 +183,19 @@ def _colorize_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "h", "w", "sj", "tb", "wr", "n_wc", "n_k", "z_test", "probe",
+        "h", "w", "sj", "tb", "vb", "wr", "n_wc", "n_k", "z_test", "probe",
         "static_tiles",
     ),
 )
 def _gather_colors_padded(
-    pts, proj, planes, *, h, w, sj, tb, wr, n_wc, n_k, z_test, probe=0,
+    pts, proj, planes, *, h, w, sj, tb, vb, wr, n_wc, n_k, z_test, probe=0,
     static_tiles=False,
 ):
     ntb = pts.shape[0]  # number of tile-BLOCKS (tb tiles each)
     nv, _three, hp, wp = planes.shape
+    vb = max(1, int(vb))
+    while nv % vb:
+        vb -= 1
     kernel = functools.partial(
         _colorize_kernel,
         h=h, w=w, hp=hp, wp=wp, sj=sj, tb=tb, wr=wr, n_wc=n_wc, n_k=n_k,
@@ -191,16 +203,16 @@ def _gather_colors_padded(
     )
     samp = jax.ShapeDtypeStruct((ntb, nv, 3, tb * sj, 128), jnp.float32)
     samp_spec = pl.BlockSpec(
-        (1, 1, 3, tb * sj, 128), lambda t, v: (t, v, 0, 0, 0),
+        (1, vb, 3, tb * sj, 128), lambda t, v: (t, v, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     plane_spec = pl.BlockSpec(
-        (1, 3, hp, wp), lambda t, v: (v, 0, 0, 0), memory_space=pltpu.VMEM
+        (vb, 3, hp, wp), lambda t, v: (v, 0, 0, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
         out_shape=samp,
-        grid=(ntb, nv),
+        grid=(ntb, nv // vb),
         in_specs=[
             pl.BlockSpec((1, tb * 3 * sj, 128), lambda t, v: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -289,8 +301,14 @@ def gather_colors_pallas(
     n_k: int = 4,
     morton: bool = True,
     tile_block: int = 8,
+    view_block: int = 1,
 ):
-    """Returns (samples (V, N, 3) uint8, valid (V, N) bool)."""
+    """Returns (samples (V, N, 3) uint8, valid (V, N) bool).
+
+    ``view_block``: views sharing one grid step (amortizes the per-step
+    fixed cost that the round-2.6 floor bisection measured as ~96% of
+    the kernel). Clamped to a divisor of the view count. Values are
+    unaffected — each (view, vertex) sample is computed identically."""
     n = points.shape[0]
     order = None
     if morton and n:
@@ -307,7 +325,7 @@ def gather_colors_pallas(
         pts_t,
         jnp.asarray(np.asarray(proj).reshape(nv, 12).astype(np.float32)),
         colors.planes,
-        h=int(hgt), w=int(wid), sj=int(sj), tb=tb,
+        h=int(hgt), w=int(wid), sj=int(sj), tb=tb, vb=int(view_block),
         wr=int(min(window_rows, hp_s)),
         n_wc=int(n_wc), n_k=int(n_k), z_test=bool(z_test),
     )  # (ntb, V, 3, tb*sj, 128)

@@ -123,3 +123,25 @@ def test_z_test_mode_matches():
                         dtype=np.float32)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_view_block_values_identical():
+    """view_block shares a grid step across views; every (view, vertex)
+    sample must be unchanged for any vb."""
+    import numpy as np
+
+    from cudadepthmapintegration_tpu.kernels.coloration_pallas import (
+        gather_colors_pallas,
+    )
+    from cudadepthmapintegration_tpu.testing import sphere_scene
+
+    views = sphere_scene(n_views=4, width=144, height=64, focal=60.0)
+    rng = np.random.default_rng(3)
+    pts = rng.normal(scale=0.9, size=(700, 3)).astype(np.float32)
+    proj = np.stack([(v.camera.k4 @ v.camera.rt)[:3, :] for v in views])
+    colors = np.stack([v.color for v in views])
+    ref_s, ref_v = gather_colors_pallas(pts, proj, colors)
+    for vb in (2, 4, 3):  # 3 does not divide 4 -> clamps to 1
+        s, v = gather_colors_pallas(pts, proj, colors, view_block=vb)
+        np.testing.assert_array_equal(s, ref_s)
+        np.testing.assert_array_equal(v, ref_v)
