@@ -188,7 +188,7 @@ def _colorize_kernel(
     ),
 )
 def _gather_colors_padded(
-    pts, proj, planes, *, h, w, sj, tb, vb, wr, n_wc, n_k, z_test, probe=0,
+    pts, proj, planes, *, h, w, sj, tb, wr, n_wc, n_k, z_test, vb=1, probe=0,
     static_tiles=False,
 ):
     ntb = pts.shape[0]  # number of tile-BLOCKS (tb tiles each)
