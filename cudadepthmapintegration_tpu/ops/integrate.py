@@ -225,8 +225,20 @@ class TSDFIntegrator:
         if self.backend == "pallas":
             from ..kernels.integrate_pallas import OrientedFusionPlan
 
-            plan = OrientedFusionPlan(self.grid, views, self.params)
-            self.volume = plan.run(self.volume)
+            # Production kernel config (measured optima, docs/KERNEL.md):
+            # 64-row subtiles + rowsel3 split-plane selects + wr64 window,
+            # per-group adaptive pass counts, and the tracked no-remainder
+            # fast path for statically-covered groups (e.g. mapping scans;
+            # exact fallback keeps results bit-identical). Small grids
+            # keep 16-row subtiles: sj64 would pad a 16-cell axis 4x.
+            sj = 64 if min(self.grid.volume_shape) >= 64 else 16
+            plan = OrientedFusionPlan(
+                self.grid, views, self.params, subtile_rows=sj
+            )
+            self.volume = plan.run(
+                self.volume, mode="rowsel3", window_rows=64,
+                rowsel_passes="auto", fast_groups="auto",
+            )
             self.views_fused += len(views)
             self.volume_sweeps += len(plan.groups)
             return self

@@ -1,0 +1,214 @@
+"""Bisect the Mosaic remote-compile 500 of the HBM depth modes.
+
+Variant ladder, each a tiny standalone pallas_call compiled on the real
+chip (one process; each step try/excepted and flushed so the log shows
+exactly which construct kills the compiler):
+
+  v1  whole-array ANY input ref; DMA src .at[view, :, ds, ds] (dynamic
+      leading index from program_id) -> (3, wr, wc) VMEM scratch.
+  v2  ANY input WITH a BlockSpec index map (block (1, 3, hp, wp)); DMA
+      src .at[0, :, ds, ds] (static leading indices).
+  v3  like v2 but one DMA per plane: .at[0, i, ds, ds] -> (wr, wc).
+  v4  like v2 plus a second DMA inside a lax.while_loop body (the
+      remainder-walk pattern).
+  v5  v2 + a one-hot select dot against the scratch window (the actual
+      consumer shape).
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+V, PL3, HP, WP = 4, 3, 512, 512
+WR, WC = 64, 256
+SJ = 8
+
+
+def run_case(name, fn):
+    t0 = time.time()
+    try:
+        out = fn()
+        jax.block_until_ready(out)
+        s = float(np.asarray(out).sum())
+        print(f"PASS {name}: sum={s:.6g} [{time.time() - t0:.0f}s]",
+              flush=True)
+        return True
+    except Exception as e:
+        print(f"FAIL {name}: [{type(e).__name__}] {str(e)[:200]} "
+              f"[{time.time() - t0:.0f}s]", flush=True)
+        return False
+
+
+def depth_data():
+    rng = np.random.default_rng(0)
+    return rng.normal(size=(V, PL3, HP, WP)).astype(np.float32)
+
+
+def v1():
+    def kernel(d_ref, o_ref, scr, sem):
+        view = pl.program_id(0)
+        v0 = jnp.int32(8) * (view % 2)
+        u0 = jnp.int32(128) * (view % 2)
+        dma = pltpu.make_async_copy(
+            d_ref.at[view, :, pl.ds(v0, WR), pl.ds(u0, WC)], scr, sem
+        )
+        dma.start()
+        dma.wait()
+        o_ref[0] = scr[0, :SJ, :128] + scr[1, :SJ, :128] + scr[2, :SJ, :128]
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((V, SJ, 128), jnp.float32),
+        grid=(V,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, SJ, 128), lambda v: (v, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((PL3, WR, WC), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+    )(depth_data())
+
+
+def _blocked(kernel_body, scratch_shapes):
+    return pl.pallas_call(
+        kernel_body,
+        out_shape=jax.ShapeDtypeStruct((V, SJ, 128), jnp.float32),
+        grid=(V,),
+        in_specs=[pl.BlockSpec((1, PL3, HP, WP), lambda v: (v, 0, 0, 0),
+                               memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, SJ, 128), lambda v: (v, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch_shapes,
+    )(depth_data())
+
+
+def v2():
+    def kernel(d_ref, o_ref, scr, sem):
+        view = pl.program_id(0)
+        v0 = jnp.int32(8) * (view % 2)
+        u0 = jnp.int32(128) * (view % 2)
+        dma = pltpu.make_async_copy(
+            d_ref.at[0, :, pl.ds(v0, WR), pl.ds(u0, WC)], scr, sem
+        )
+        dma.start()
+        dma.wait()
+        o_ref[0] = scr[0, :SJ, :128] + scr[1, :SJ, :128] + scr[2, :SJ, :128]
+
+    return _blocked(kernel, [pltpu.VMEM((PL3, WR, WC), jnp.float32),
+                             pltpu.SemaphoreType.DMA(())])
+
+
+def v3():
+    def kernel(d_ref, o_ref, s0, s1, s2, sem):
+        view = pl.program_id(0)
+        v0 = jnp.int32(8) * (view % 2)
+        u0 = jnp.int32(128) * (view % 2)
+        acc = None
+        for i, scr in enumerate((s0, s1, s2)):
+            dma = pltpu.make_async_copy(
+                d_ref.at[0, i, pl.ds(v0, WR), pl.ds(u0, WC)], scr,
+                sem.at[i],
+            )
+            dma.start()
+        for i, scr in enumerate((s0, s1, s2)):
+            pltpu.make_async_copy(
+                d_ref.at[0, i, pl.ds(v0, WR), pl.ds(u0, WC)], scr,
+                sem.at[i],
+            ).wait()
+            a = scr[:SJ, :128]
+            acc = a if acc is None else acc + a
+        o_ref[0] = acc
+
+    return _blocked(
+        kernel,
+        [pltpu.VMEM((WR, WC), jnp.float32),
+         pltpu.VMEM((WR, WC), jnp.float32),
+         pltpu.VMEM((WR, WC), jnp.float32),
+         pltpu.SemaphoreType.DMA((3,))],
+    )
+
+
+def v4():
+    def kernel(d_ref, o_ref, scr, rem, sem):
+        view = pl.program_id(0)
+        v0 = jnp.int32(8) * (view % 2)
+        u0 = jnp.int32(128) * (view % 2)
+        dma = pltpu.make_async_copy(
+            d_ref.at[0, :, pl.ds(v0, WR), pl.ds(u0, WC)], scr, sem.at[0]
+        )
+        dma.start()
+        dma.wait()
+        base = scr[0, :SJ, :128] + scr[1, :SJ, :128] + scr[2, :SJ, :128]
+
+        def cond(c):
+            return c[0] < 2 + (view % 2)
+
+        def body(c):
+            i, acc = c
+            d2 = pltpu.make_async_copy(
+                d_ref.at[0, :, pl.ds(i * 8, 8), pl.ds(jnp.int32(0), 128)],
+                rem, sem.at[1],
+            )
+            d2.start()
+            d2.wait()
+            return i + 1, acc + rem[0] + rem[1] + rem[2]
+
+        _, out = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.zeros((8, 128), jnp.float32))
+        )
+        o_ref[0] = base + out[:SJ]
+
+    return _blocked(
+        kernel,
+        [pltpu.VMEM((PL3, WR, WC), jnp.float32),
+         pltpu.VMEM((PL3, 8, 128), jnp.float32),
+         pltpu.SemaphoreType.DMA((2,))],
+    )
+
+
+def v5():
+    def kernel(d_ref, o_ref, scr, sem):
+        view = pl.program_id(0)
+        v0 = jnp.int32(8) * (view % 2)
+        u0 = jnp.int32(128) * (view % 2)
+        dma = pltpu.make_async_copy(
+            d_ref.at[0, :, pl.ds(v0, WR), pl.ds(u0, WC)], scr, sem
+        )
+        dma.start()
+        dma.wait()
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (SJ, WR), 1)
+        p = (iota_r == (view % 3)).astype(jnp.float32)
+        acc = None
+        for i in range(3):
+            win = scr[i, :, 0:128]
+            a = jax.lax.dot_general(
+                p, win, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32,
+            )
+            acc = a if acc is None else acc + a
+        o_ref[0] = acc
+
+    return _blocked(kernel, [pltpu.VMEM((PL3, WR, WC), jnp.float32),
+                             pltpu.SemaphoreType.DMA(())])
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
+    for name, fn in (("v1-dyn-lead", v1), ("v2-blockspec", v2),
+                     ("v3-per-plane", v3), ("v4-while-dma", v4),
+                     ("v5-select-dot", v5)):
+        run_case(name, fn)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -524,3 +524,44 @@ def test_per_group_redispatch_bit_identical():
     assert len(plan.last_group_miss) == len(plan.groups)
     assert plan.last_miss == sum(plan.last_group_miss)
     assert plan.last_miss > 0, "tunables should have forced misses"
+
+
+def test_fast_groups_auto_bit_identical():
+    """fast_groups='auto' routes statically-covered groups (straight-down
+    scan) through the tracked no-remainder kernel with exact fallback;
+    results must be bit-identical to the inline kernel."""
+    from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
+        OrientedFusionPlan,
+    )
+    from cudadepthmapintegration_tpu.testing import (
+        look_at_camera,
+        orbit_cameras,
+        render_sphere_view,
+    )
+
+    W, H = 144, 64
+    # Mixed: a straight-down scan segment (statically covered) + oblique
+    # orbit views (needs the remainder walk).
+    cams = [
+        look_at_camera((x, y, 4.0), (x, y, 0.0), focal=60.0,
+                       width=W, height=H)
+        for x in (-0.4, 0.4) for y in (-0.4, 0.4)
+    ]
+    cams += list(orbit_cameras(3, 3.5, focal=60.0, width=W, image_height=H))
+    views = [render_sphere_view(c, W, H, radius=1.0, background=-1.0)
+             for c in cams]
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    plan = OrientedFusionPlan(grid, views, PARAMS)
+    covered = plan._statically_covered_groups("auto", 32, min_samples=100)
+    assert covered, "scan group should be statically covered"
+    ref = np.asarray(
+        plan.run(vol, mode="rowsel3", rowsel_passes="auto", window_rows=32)
+    )
+    got = np.asarray(
+        plan.run(vol, mode="rowsel3", rowsel_passes="auto", window_rows=32,
+                 fast_groups="auto")
+    )
+    np.testing.assert_array_equal(got, ref)
+    assert any(m == 0 for m in plan.last_group_miss)  # fast path engaged
+    assert any(m == -1 for m in plan.last_group_miss)  # inline groups too
