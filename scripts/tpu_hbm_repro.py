@@ -78,12 +78,13 @@ def v1():
 
 
 def _blocked(kernel_body, scratch_shapes):
+    # ANY space requires whole-array blocks + trivial index map (measured:
+    # the JAX lowering rejects anything else) — kernels index .at[view].
     return pl.pallas_call(
         kernel_body,
         out_shape=jax.ShapeDtypeStruct((V, SJ, 128), jnp.float32),
         grid=(V,),
-        in_specs=[pl.BlockSpec((1, PL3, HP, WP), lambda v: (v, 0, 0, 0),
-                               memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, SJ, 128), lambda v: (v, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch_shapes,
@@ -96,7 +97,7 @@ def v2():
         v0 = jnp.int32(8) * (view % 2)
         u0 = jnp.int32(128) * (view % 2)
         dma = pltpu.make_async_copy(
-            d_ref.at[0, :, pl.ds(v0, WR), pl.ds(u0, WC)], scr, sem
+            d_ref.at[view, :, pl.ds(v0, WR), pl.ds(u0, WC)], scr, sem
         )
         dma.start()
         dma.wait()
@@ -114,13 +115,13 @@ def v3():
         acc = None
         for i, scr in enumerate((s0, s1, s2)):
             dma = pltpu.make_async_copy(
-                d_ref.at[0, i, pl.ds(v0, WR), pl.ds(u0, WC)], scr,
+                d_ref.at[view, i, pl.ds(v0, WR), pl.ds(u0, WC)], scr,
                 sem.at[i],
             )
             dma.start()
         for i, scr in enumerate((s0, s1, s2)):
             pltpu.make_async_copy(
-                d_ref.at[0, i, pl.ds(v0, WR), pl.ds(u0, WC)], scr,
+                d_ref.at[view, i, pl.ds(v0, WR), pl.ds(u0, WC)], scr,
                 sem.at[i],
             ).wait()
             a = scr[:SJ, :128]
@@ -142,7 +143,7 @@ def v4():
         v0 = jnp.int32(8) * (view % 2)
         u0 = jnp.int32(128) * (view % 2)
         dma = pltpu.make_async_copy(
-            d_ref.at[0, :, pl.ds(v0, WR), pl.ds(u0, WC)], scr, sem.at[0]
+            d_ref.at[view, :, pl.ds(v0, WR), pl.ds(u0, WC)], scr, sem.at[0]
         )
         dma.start()
         dma.wait()
@@ -154,7 +155,7 @@ def v4():
         def body(c):
             i, acc = c
             d2 = pltpu.make_async_copy(
-                d_ref.at[0, :, pl.ds(i * 8, 8), pl.ds(jnp.int32(0), 128)],
+                d_ref.at[view, :, pl.ds(i * 8, 8), pl.ds(jnp.int32(0), 128)],
                 rem, sem.at[1],
             )
             d2.start()
@@ -180,7 +181,7 @@ def v5():
         v0 = jnp.int32(8) * (view % 2)
         u0 = jnp.int32(128) * (view % 2)
         dma = pltpu.make_async_copy(
-            d_ref.at[0, :, pl.ds(v0, WR), pl.ds(u0, WC)], scr, sem
+            d_ref.at[view, :, pl.ds(v0, WR), pl.ds(u0, WC)], scr, sem
         )
         dma.start()
         dma.wait()
@@ -201,11 +202,139 @@ def v5():
                              pltpu.SemaphoreType.DMA(())])
 
 
+def v8():
+    """v4's DMA+while nested INSIDE a fori_loop (the kernel's jt loop)."""
+    def kernel(d_ref, o_ref, scr, rem, sem):
+        view = pl.program_id(0)
+
+        def jt_body(jt, _):
+            v0 = jnp.int32(8) * ((view + jt) % 2)
+            u0 = jnp.int32(128) * (view % 2)
+            dma = pltpu.make_async_copy(
+                d_ref.at[view, :, pl.ds(v0, WR), pl.ds(u0, WC)], scr,
+                sem.at[0],
+            )
+            dma.start()
+            dma.wait()
+            base = (scr[0, :SJ, :128] + scr[1, :SJ, :128]
+                    + scr[2, :SJ, :128])
+
+            def cond(c):
+                return c[0] < 2 + (view % 2)
+
+            def body(c):
+                i, acc = c
+                d2 = pltpu.make_async_copy(
+                    d_ref.at[view, :, pl.ds(i * 8, 8),
+                             pl.ds(jnp.int32(0), 128)],
+                    rem, sem.at[1],
+                )
+                d2.start()
+                d2.wait()
+                return i + 1, acc + rem[0] + rem[1] + rem[2]
+
+            _, out = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.zeros((8, 128), jnp.float32))
+            )
+            o_ref[0] = base + out[:SJ]
+            return 0
+
+        jax.lax.fori_loop(0, 3, jt_body, 0)
+
+    return _blocked(
+        kernel,
+        [pltpu.VMEM((PL3, WR, WC), jnp.float32),
+         pltpu.VMEM((PL3, 8, 128), jnp.float32),
+         pltpu.SemaphoreType.DMA((2,))],
+    )
+
+
+def v9():
+    """Nested while-in-while with the inner DMA + pl.multiple_of indices
+    (the remainder-walk shape) + a take_along_axis consumer."""
+    def kernel(d_ref, o_ref, scr, rem, sem):
+        view = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            d_ref.at[view, :, pl.ds(jnp.int32(0), WR),
+                     pl.ds(jnp.int32(0), WC)], scr, sem.at[0],
+        )
+        dma.start()
+        dma.wait()
+        idx = jax.lax.broadcasted_iota(jnp.int32, (SJ, 128), 1) % 7
+
+        def row_cond(c):
+            return c[0] < 16 + 8 * (view % 2)
+
+        def row_body(c):
+            rs, acc = c
+
+            def col_cond(cc):
+                return cc[0] < 256
+
+            def col_body(cc):
+                cs, cacc = cc
+                d2 = pltpu.make_async_copy(
+                    d_ref.at[view, :, pl.ds(pl.multiple_of(rs, 8), 8),
+                             pl.ds(pl.multiple_of(cs, 128), 128)],
+                    rem, sem.at[1],
+                )
+                d2.start()
+                d2.wait()
+                win = rem[0] + rem[1] + rem[2]
+                g = jnp.take_along_axis(
+                    jnp.broadcast_to(win[0][None, :], (SJ, 128)), idx,
+                    axis=1,
+                )
+                return cs + 128, cacc + g
+
+            _, acc = jax.lax.while_loop(
+                col_cond, col_body, (jnp.int32(0), acc)
+            )
+            return rs + 8, acc
+
+        _, out = jax.lax.while_loop(
+            row_cond, row_body,
+            (jnp.int32(0), jnp.zeros((SJ, 128), jnp.float32)),
+        )
+        o_ref[0] = out + scr[0, :SJ, :128]
+
+    return _blocked(
+        kernel,
+        [pltpu.VMEM((PL3, WR, WC), jnp.float32),
+         pltpu.VMEM((PL3, 8, 128), jnp.float32),
+         pltpu.SemaphoreType.DMA((2,))],
+    )
+
+
+def v7():
+    """The REAL kernel (mode='rowsel3h') at a small geometry."""
+    from cudadepthmapintegration_tpu.core import RayPotential, VoxelGrid
+    from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
+        integrate_views_oriented,
+    )
+    from cudadepthmapintegration_tpu.testing import sphere_scene
+
+    views = sphere_scene(n_views=4, width=256, height=192, focal=150.0)
+    grid = VoxelGrid(dims=(65, 65, 65), origin=(-1.63, -1.61, -1.59),
+                     spacing=(0.05,) * 3)
+    params = RayPotential(thick=0.05, rho=0.8, eta=0.03, delta=0.2)
+    return integrate_views_oriented(
+        np.zeros(grid.volume_shape, np.float32), grid, views, params,
+        mode="rowsel3h", window_rows=64, rowsel_passes=2, subtile_rows=16,
+    )
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
-    for name, fn in (("v1-dyn-lead", v1), ("v2-blockspec", v2),
+    names = set(sys.argv[1:])
+    for name, fn in (("v2-blockspec", v2),
                      ("v3-per-plane", v3), ("v4-while-dma", v4),
-                     ("v5-select-dot", v5)):
+                     ("v5-select-dot", v5), ("v8-fori-dma", v8),
+                     ("v9-nested-while-dma", v9),
+                     ("v7-real-kernel", v7),
+                     ("v1-dyn-lead", v1)):
+        if names and name.split("-")[0] not in names:
+            continue
         run_case(name, fn)
     return 0
 
