@@ -68,6 +68,11 @@ INTERPRET = False
 # (they truncate the selected depth mantissa). Read at trace time.
 ROWSEL_PRECISION = jax.lax.Precision.HIGHEST
 
+# COMPILER-TRIAGE knobs for the HBM modes (scripts/tpu_hbm_repro.py):
+# results are WRONG when skipping the remainder — bisection only.
+HBM_NO_OVERLAP = False      # wait the window DMA before the reductions
+HBM_SKIP_REMAINDER = False  # drop the DMA remainder walk entirely
+
 # Cap on the double-buffered (vb, [3,] hp, wp) depth block: view_block is
 # clamped so 2x the block stays under this many bytes of the ~16 MiB
 # scoped-VMEM budget (the volume block, tables, and kernel temporaries
@@ -468,6 +473,8 @@ def _gather_pixels_hbm(
     )
     dma = pltpu.make_async_copy(src, win_s, sems.at[0])
     dma.start()
+    if HBM_NO_OVERLAP:
+        dma.wait()
 
     # Overlap with the DMA: coverage predicate + remainder bbox (none of
     # it needs the gathered values — cf. _gather_pixels_multi where these
@@ -488,7 +495,8 @@ def _gather_pixels_hbm(
     rv0 = jnp.clip((rv_lo // 8) * 8, 0, hp - 8)
     ru0 = jnp.clip((ru_lo // 128) * 128, 0, wp - 128)
 
-    dma.wait()
+    if not HBM_NO_OVERLAP:
+        dma.wait()
     d = jnp.zeros(valid.shape, jnp.float32)
     for c in range(n_wc):
         if split3:
@@ -536,6 +544,9 @@ def _gather_pixels_hbm(
                 d_,
             )
         return d_
+
+    if HBM_SKIP_REMAINDER:
+        return d  # TRIAGE ONLY: uncovered pairs contribute nothing
 
     def row_cond(c_):
         return c_[0] <= rv_hi

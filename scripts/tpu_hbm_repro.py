@@ -306,6 +306,45 @@ def v9():
     )
 
 
+def _real(mode="rowsel3h", **flags):
+    import cudadepthmapintegration_tpu.kernels.integrate_pallas as KP
+    from cudadepthmapintegration_tpu.core import RayPotential, VoxelGrid
+    from cudadepthmapintegration_tpu.testing import sphere_scene
+
+    old = {k: getattr(KP, k) for k in flags}
+    for k, v in flags.items():
+        setattr(KP, k, v)
+    try:
+        views = sphere_scene(n_views=4, width=256, height=192, focal=150.0)
+        grid = VoxelGrid(dims=(65, 65, 65), origin=(-1.63, -1.61, -1.59),
+                         spacing=(0.05,) * 3)
+        params = RayPotential(thick=0.05, rho=0.8, eta=0.03, delta=0.2)
+        return KP.integrate_views_oriented(
+            np.zeros(grid.volume_shape, np.float32), grid, views, params,
+            mode=mode, window_rows=64, rowsel_passes=2, subtile_rows=16,
+        )
+    finally:
+        for k, v in old.items():
+            setattr(KP, k, v)
+
+
+def m1():
+    return _real(HBM_SKIP_REMAINDER=True)
+
+
+def m2():
+    return _real(HBM_NO_OVERLAP=True)
+
+
+def m3():
+    return _real(HBM_SKIP_REMAINDER=True, HBM_NO_OVERLAP=True)
+
+
+def m4():
+    return _real(mode="rowselh", HBM_SKIP_REMAINDER=True,
+                 HBM_NO_OVERLAP=True)
+
+
 def v7():
     """The REAL kernel (mode='rowsel3h') at a small geometry."""
     from cudadepthmapintegration_tpu.core import RayPotential, VoxelGrid
@@ -331,6 +370,8 @@ def main():
                      ("v3-per-plane", v3), ("v4-while-dma", v4),
                      ("v5-select-dot", v5), ("v8-fori-dma", v8),
                      ("v9-nested-while-dma", v9),
+                     ("m3-norem-noovl", m3), ("m1-norem", m1),
+                     ("m2-noovl", m2), ("m4-1plane-min", m4),
                      ("v7-real-kernel", v7),
                      ("v1-dyn-lead", v1)):
         if names and name.split("-")[0] not in names:
