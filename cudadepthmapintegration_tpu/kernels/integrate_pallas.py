@@ -428,9 +428,88 @@ def _gather_pixels_multi(
     return ds_
 
 
+def _hbm_anchors(tx, ty_vc, tz_kv, tc, *, sj, n_wc, hp, wp):
+    """Conservative per-(z, subtile-row, column-tile, view) window anchors
+    for the HBM depth modes, computed OUTSIDE the kernel (plain XLA,
+    jit-safe) and fed to it through SMEM.
+
+    Why this exists (measured, scripts/tpu_hbm_repro.py): Mosaic crashes
+    (remote-compile 500) when a DMA descriptor offset derives from a
+    VECTOR reduction — the kernel's exact footprint anchors are
+    ``jnp.min`` over the subtile, so the HBM window DMA cannot use them.
+    Vector-derived scalars remain fine for CONTROL FLOW (the remainder
+    walk's upper bounds), so only the DMA-feeding LOWER anchors move
+    here.
+
+    Method: u and v are fractional-linear over a subtile's (y, x)
+    rectangle and h2 is affine, so when h2 > 0 at all 4 corners it is
+    positive throughout and the corner u/v extremes bound the interior.
+    Corners are clamped to the REAL (non-poisoned) lattice extent —
+    padded rows/columns carry a -1e9 hom-z poison (|values| of real
+    tables are << 1e8) and never contribute. Any corner with h2 <= 0
+    (pole inside / dummy view) falls back to anchor 0: the kernel then
+    walks from row/col 0 up to the EXACT vector-derived upper bound —
+    expensive but exact, and zero-iteration when nothing misses. A 2 px
+    safety margin absorbs fp summation-order drift between this
+    evaluation and the kernel's (a violation would need a >2 px
+    excursion, thousands of ulps); the hardware parity gates pin it.
+
+    Inputs are the kernel-layout tables: tx (V, 4, cx), ty_vc (V, cy, 4),
+    tz_kv (cz, V, 4), tc (V, 4). Returns int32 (cz, cy//sj,
+    V * (cx//128) * 2) — 3-D so the kernel's SMEM block stays simple;
+    lane layout [view * nit * 2 + it * 2 + {0: vmin, 1: umin}], values
+    pre-aligned (8 rows / 128 cols) and clipped to [0, hp-8] / [0,
+    wp-128]."""
+    nv, _, cx = tx.shape
+    cy = ty_vc.shape[1]
+    cz = tz_kv.shape[0]
+    njt, nit = cy // sj, cx // 128
+    big = jnp.float32(1e8)
+    # Real (unpoisoned) extents: padding is always a suffix.
+    ny_real = jnp.sum((ty_vc[0, :, 2] > -big).astype(jnp.int32))
+    nx_real = jnp.sum((tx[0, 2, :] > -big).astype(jnp.int32))
+    y_lo = jnp.arange(njt, dtype=jnp.int32) * sj
+    y_hi = jnp.minimum(y_lo + (sj - 1), jnp.maximum(ny_real - 1, 0))
+    x_lo = jnp.arange(nit, dtype=jnp.int32) * 128
+    x_hi = jnp.minimum(x_lo + 127, jnp.maximum(nx_real - 1, 0))
+    ys = jnp.stack([y_lo, y_hi], -1)  # (njt, 2)
+    xs = jnp.stack([x_lo, x_hi], -1)  # (nit, 2)
+    # Corner tables: (V, 4, njt, 2) and (V, 4, nit, 2).
+    tyc = jnp.take(ty_vc, ys.reshape(-1), axis=1).reshape(
+        nv, njt, 2, 4
+    ).transpose(0, 3, 1, 2)
+    txc = jnp.take(tx, xs.reshape(-1), axis=2).reshape(nv, 4, nit, 2)
+    # hom[r] at each (k, v, jt, cy2, it, cx2) corner.
+    zc = tz_kv + tc[None]  # (cz, V, 4)
+
+    def hom(r):
+        return (
+            zc[:, :, r][:, :, None, None, None, None]
+            + tyc[:, r][None, :, :, :, None, None]
+            + txc[:, r][None, :, None, None, :, :]
+        )  # (cz, V, njt, 2, nit, 2)
+
+    h0, h1, h2 = hom(0), hom(1), hom(2)
+    pos = jnp.all(h2 > 0, axis=(3, 5))  # (cz, V, njt, nit)
+    safe_h2 = jnp.where(h2 > 0, h2, 1.0)
+    u = h0 / safe_h2
+    v = h1 / safe_h2
+    vmin = jnp.min(v, axis=(3, 5))
+    umin = jnp.min(u, axis=(3, 5))
+    # 2 px margin, floor to int, align, clip; pole fallback -> 0.
+    vmin_i = jnp.floor(vmin - 2.0).astype(jnp.int32) // 8 * 8
+    umin_i = jnp.floor(umin - 2.0).astype(jnp.int32) // 128 * 128
+    vmin_i = jnp.where(pos, jnp.clip(vmin_i, 0, hp - 8), 0)
+    umin_i = jnp.where(pos, jnp.clip(umin_i, 0, wp - 128), 0)
+    anch = jnp.stack([vmin_i, umin_i], axis=-1)  # (cz, V, njt, nit, 2)
+    return jnp.transpose(anch, (0, 2, 1, 3, 4)).reshape(
+        cz, njt, nv * nit * 2
+    )
+
+
 def _gather_pixels_hbm(
-    depth_ref, view, ui, vi, valid, *, hp, wp, wr, n_wc, n_k, split3,
-    win_s, rem_s, sems,
+    depth_ref, view, ui, vi, valid, vmin_s, umin_s, *,
+    hp, wp, wr, n_wc, n_k, split3, win_s, rem_s, sems,
 ):
     """Exact per-element image gather ``depth[vi, ui]`` with the depth
     planes RESIDENT IN HBM (``depth_ref``: (V, 3, hp, wp) split planes or
@@ -441,16 +520,25 @@ def _gather_pixels_hbm(
 
     Per (subtile, view) unit:
 
-    1. anchor reductions (same as the VMEM path) -> (v0, u0);
+    1. window anchors (vmin_s, umin_s) arrive as SMEM SCALARS from the
+       :func:`_hbm_anchors` prepass — Mosaic cannot build a DMA
+       descriptor from a vector-reduction-derived offset (measured
+       crash, scripts/tpu_hbm_repro.py v11), so the footprint minima
+       move out of the kernel; only per-row ``rowmin`` (selector input,
+       never a DMA offset) stays a vector reduction;
     2. START one async copy of the (wr, 128*n_wc) anchored window
        (x3 planes for split3) into ``win_s`` scratch, then overlap the
-       coverage predicate and the four remainder-bbox reductions with the
-       DMA flight time before waiting;
+       coverage predicate and the remainder upper-bound reductions with
+       the DMA flight time before waiting;
     3. the n_k one-hot select passes run against the scratch window —
-       indices rebased by (v0, u0), otherwise identical math (and
-       bit-identical results) to the VMEM path;
+       indices rebased by (v0, u0); the coverage split differs from the
+       VMEM path's (conservative anchors), the gathered VALUES do not,
+       so results stay bit-identical;
     4. the remainder walk DMAs each (8, 128) window into ``rem_s`` on
-       demand — zero copies when the static passes covered everything.
+       demand, from the conservative SMEM anchors up to the EXACT
+       vector-derived upper bounds (control flow may consume vector
+       scalars) — zero iterations and zero copies when the static
+       passes covered the unit.
 
     The reference streams any-size maps through global memory
     (``Reconstruction/CudaReconstruction.cu:320-331``); this is the TPU
@@ -458,13 +546,12 @@ def _gather_pixels_hbm(
     """
     big = jnp.int32(1 << 30)
     rowmin = jnp.min(jnp.where(valid, vi, big), axis=1, keepdims=True)
-    u_lo = jnp.min(jnp.where(valid, ui, big))
-    v_lo = jnp.min(rowmin)
-    v0 = jnp.clip((v_lo // 8) * 8, 0, hp - wr)
-    u0 = jnp.clip((u_lo // 128) * 128, 0, wp - 128 * n_wc)
+    wcols = 128 * n_wc
+    # SMEM scalar arithmetic only — these feed DMA descriptors.
+    v0 = jnp.minimum(vmin_s, hp - wr)
+    u0 = jnp.minimum(umin_s, wp - wcols)
     vi_loc = vi - v0
     rmin = rowmin - v0
-    wcols = 128 * n_wc
 
     src = (
         depth_ref.at[view, :, pl.ds(v0, wr), pl.ds(u0, wcols)]
@@ -488,12 +575,14 @@ def _gather_pixels_hbm(
         & (ui < u0 + wcols)
     )
     rem = valid & ~covered
-    rv_lo = jnp.min(jnp.where(rem, vi, big))
+    # Upper bounds stay EXACT (vector-derived — legal for control flow);
+    # the walk's DMA-feeding lower bounds are the conservative SMEM
+    # anchors (vmin_s <= any valid vi, umin_s <= any valid ui, 2 px
+    # margin), so every rem pixel is visited.
     rv_hi = jnp.max(jnp.where(rem, vi, -1))
-    ru_lo = jnp.min(jnp.where(rem, ui, big))
     ru_hi = jnp.max(jnp.where(rem, ui, -1))
-    rv0 = jnp.clip((rv_lo // 8) * 8, 0, hp - 8)
-    ru0 = jnp.clip((ru_lo // 128) * 128, 0, wp - 128)
+    rv0 = vmin_s  # already 8-aligned, clipped to [0, hp-8]
+    ru0 = umin_s  # already 128-aligned, clipped to [0, wp-128]
 
     if not HBM_NO_OVERLAP:
         dma.wait()
@@ -608,15 +697,19 @@ def _integrate_kernel_v2(
     geometry with the remainder cost paid only on actual misses.
 
     hbm=True (modes 'rowselh'/'rowsel3h'): ``depth_ref`` is the FULL
-    (V, [3,] hp, wp) array in HBM (``pl.ANY``) and ``refs`` carries the
-    (win_s, rem_s, sems) scratch for :func:`_gather_pixels_hbm` — no
-    whole-map VMEM staging, no depth-map size ceiling.
+    (V, [3,] hp, wp) array in HBM (``pl.ANY``); an extra SMEM input (the
+    :func:`_hbm_anchors` prepass output) arrives as the 7th argument —
+    i.e. what binds ``out_ref`` here — and ``refs`` carries the real
+    output plus the (win_s, rem_s, sems) scratch for
+    :func:`_gather_pixels_hbm`. No whole-map VMEM staging, no depth-map
+    size ceiling.
     """
-    miss_ref = None
+    miss_ref = anch_ref = None
     if track_miss:
         (miss_ref,) = refs
     elif hbm:
-        win_s, rem_s, sems = refs
+        anch_ref = out_ref  # inputs precede outputs: 7th arg = anchors
+        out_ref, win_s, rem_s, sems = refs
     vb = 1 if hbm else depth_ref.shape[0]
     kzn = out_ref.shape[0]  # z-slices per volume block (kz)
 
@@ -674,8 +767,11 @@ def _integrate_kernel_v2(
                 vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
 
                 if hbm:
+                    abase = view * ((cx // 128) * 2) + it * 2
                     d = _gather_pixels_hbm(
                         depth_ref, view, ui, vi, valid,
+                        anch_ref[0, jt, abase],
+                        anch_ref[0, jt, abase + 1],
                         hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
                         split3=split3,
                         win_s=win_s, rem_s=rem_s, sems=sems,
@@ -970,6 +1066,7 @@ def _pallas_integrate_impl(
     else:
         out_shape, out_specs = vol_shape, vol_spec
     wr_eff = min(wr, hp)
+    anchor_args, anchor_specs = (), ()
     if hbm:
         depth_spec = pl.BlockSpec(memory_space=pl.ANY)
         win_shape = (3, wr_eff, 128 * n_wc) if split3 else (wr_eff, 128 * n_wc)
@@ -979,6 +1076,16 @@ def _pallas_integrate_impl(
             pltpu.VMEM(rem_shape, jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
+        anchors = _hbm_anchors(tx, ty, tz, tc, sj=sj, n_wc=n_wc,
+                               hp=hp, wp=wp)
+        jpb = cy_b // sj
+        anchor_args = (anchors,)
+        anchor_specs = (
+            pl.BlockSpec(
+                (1, jpb, anchors.shape[2]), lambda k, jb, v: (k, jb, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        )
     elif split3:
         depth_spec = pl.BlockSpec(
             (vb, 3, hp, wp), lambda k, jb, v: (v, 0, 0, 0),
@@ -1003,6 +1110,7 @@ def _pallas_integrate_impl(
             pl.BlockSpec((nviews, 4), lambda k, jb, v: (0, 0), memory_space=pltpu.SMEM),
             depth_spec,
             pl.BlockSpec((kz, cy_b, cx), lambda k, jb, v: (k, jb, 0), memory_space=pltpu.VMEM),
+            *anchor_specs,
         ],
         out_specs=out_specs,
         input_output_aliases={5: 0},
@@ -1021,7 +1129,7 @@ def _pallas_integrate_impl(
             transcendentals=0,
         ),
         interpret=INTERPRET,
-    )(tx, ty, tz, tc, depths, volume)
+    )(tx, ty, tz, tc, depths, volume, *anchor_args)
     if track_miss:
         out, miss = res
         # Per-element int32 counts stay < 2^22 (grid steps per position),

@@ -363,6 +363,64 @@ def v7():
     )
 
 
+def v11():
+    """DMA offsets derived from VECTOR reductions (the real kernel's
+    anchor pattern) instead of program_id arithmetic."""
+    def kernel(d_ref, o_ref, scr, sem):
+        view = pl.program_id(0)
+        vals = jax.lax.broadcasted_iota(jnp.int32, (SJ, 128), 1) + view
+        v_lo = jnp.min(jnp.where(vals > 0, vals, 1 << 30))
+        u_lo = jnp.min(vals)
+        v0 = jnp.clip((v_lo // 8) * 8, 0, HP - WR)
+        u0 = jnp.clip((u_lo // 128) * 128, 0, WP - WC)
+        dma = pltpu.make_async_copy(
+            d_ref.at[view, :, pl.ds(v0, WR), pl.ds(u0, WC)], scr, sem
+        )
+        dma.start()
+        dma.wait()
+        o_ref[0] = scr[0, :SJ, :128] + scr[1, :SJ, :128] + scr[2, :SJ, :128]
+
+    return _blocked(kernel, [pltpu.VMEM((PL3, WR, WC), jnp.float32),
+                             pltpu.SemaphoreType.DMA(())])
+
+
+def v12():
+    """v11 + the main kernel's volume in/out alias + pl.when init +
+    accumulation (composite closest to m4 minus tables/projection)."""
+    def kernel(d_ref, vol_ref, o_ref, scr, sem):
+        view = pl.program_id(1)
+
+        @pl.when(view == 0)
+        def _():
+            o_ref[:] = vol_ref[:]
+
+        vals = jax.lax.broadcasted_iota(jnp.int32, (SJ, 128), 1) + view
+        v_lo = jnp.min(jnp.where(vals > 0, vals, 1 << 30))
+        v0 = jnp.clip((v_lo // 8) * 8, 0, HP - WR)
+        dma = pltpu.make_async_copy(
+            d_ref.at[view, :, pl.ds(v0, WR), pl.ds(jnp.int32(0), WC)],
+            scr, sem,
+        )
+        dma.start()
+        dma.wait()
+        o_ref[0] += scr[0, :SJ, :128]
+
+    vol = np.zeros((4, SJ, 128), np.float32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((4, SJ, 128), jnp.float32),
+        grid=(4, V),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((1, SJ, 128), lambda b, v: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, SJ, 128), lambda b, v: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((PL3, WR, WC), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+        input_output_aliases={1: 0},
+    )(depth_data(), vol)
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     names = set(sys.argv[1:])
@@ -372,6 +430,8 @@ def main():
                      ("v9-nested-while-dma", v9),
                      ("m3-norem-noovl", m3), ("m1-norem", m1),
                      ("m2-noovl", m2), ("m4-1plane-min", m4),
+                     ("v11-vec-anchor-dma", v11),
+                     ("v12-alias-accum", v12),
                      ("v7-real-kernel", v7),
                      ("v1-dyn-lead", v1)):
         if names and name.split("-")[0] not in names:
