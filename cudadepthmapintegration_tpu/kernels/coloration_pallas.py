@@ -101,11 +101,22 @@ def _colorize_kernel(
     # per-step fixed cost amortize over tb subtiles (measured 12 us/step at
     # tb=1 vs ~1.7 us/subtile in the integrate kernel, whose grid steps
     # carry 32 subtiles). All row offsets are multiples of sj (>= 8).
+    # Per-view projection scalars and plane ref views are tile-invariant:
+    # read SMEM once per view OUTSIDE the tile loop, not per fori
+    # iteration (Mosaic does not hoist them). Skipped for probe>=4 so the
+    # floor probes keep measuring a bare loop body.
+    if probe < 4:
+        planes_by_view = [
+            tuple(planes_ref.at[vv, i] for i in range(3)) for vv in range(vb)
+        ]
+        pcs = [
+            [proj_ref[view0 + vv, i] for i in range(12)] for vv in range(vb)
+        ]
+
     def view_tile_body(vv, t):
-        planes = tuple(planes_ref.at[vv, i] for i in range(3))
-        # Per-view projection scalars are tile-invariant: read SMEM once
-        # per view, not per fori iteration (Mosaic does not hoist them).
-        pc = [proj_ref[view0 + vv, i] for i in range(12)]
+        if probe < 4:
+            planes = planes_by_view[vv]
+            pc = pcs[vv]
         if probe >= 4:
             # probe=4: static addressing only (loads/stores slot 0,
             # constant samples) — isolates the dynamic-ds + arithmetic

@@ -162,6 +162,16 @@ def _vmem_safe_mode(mode, h, w, window_rows):
     return mode
 
 
+def _fast_groups_viable(mode, h, w, window_rows) -> bool:
+    """fast_groups routes through the tracked twin ('rowselm'/'rowsel3m'),
+    which keeps the whole-map VMEM residency requirement (diagnostics never
+    switch residency silently — _vmem_safe_mode raises for them instead).
+    Fast routing is therefore only viable when the exact mode itself needs
+    no downgrade/HBM re-route; otherwise OrientedFusionPlan.run skips the
+    fast path and the inline runner re-routes safely."""
+    return _vmem_safe_mode(mode, h, w, window_rows) == mode
+
+
 def _round_half_away(x):
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
@@ -1292,14 +1302,20 @@ ROWSEL_AUTO_K_RANGE = (2, 12)
 
 
 def _sample_group_spans(
-    tx, ty, tz, tc, czp, cyp, cxp, h, w, sj,
+    tx, ty, tz, tc, czp, cyp, cxp, h, w, sj, wr, n_wc,
     samples_per_view=8, max_views=16, seed=0,
 ):
     """Host-side (NumPy) replay of the kernel's per-subtile index math on a
     few random subtiles per view of ONE orientation group: returns
     ``(n_valid, span, vi_loc)`` where ``span = vi - rowmin`` and ``vi_loc =
-    vi - v0`` for every sampled valid pair inside the u window — the
-    sufficient statistics for the per-group miss fraction at any (n_k, wr).
+    vi - v0`` for every sampled valid pair — the sufficient statistics for
+    the per-group miss fraction at any ``n_k`` under the sampled
+    ``(wr, n_wc)`` window geometry. Valid pairs OUTSIDE the anchored
+    u-window get sentinel span/vi_loc (never servable): the kernel's
+    coverage predicate counts them as remainder work, so dropping them
+    would let a wide-u group masquerade as statically covered. The window
+    anchors mirror the kernel exactly, including the upper clips
+    (``u0 <= wp - 128*n_wc``, ``v0 <= hp - wr``) near the image edges.
     Same math as ``scripts/coverage_sim.py`` (which reproduced the
     hardware-measured full-sweep miss to 0.4%), restricted to what the
     auto-k decision needs. Tables are the group's UNPADDED per-axis tables
@@ -1312,7 +1328,12 @@ def _sample_group_spans(
         if g_total <= max_views
         else rng.choice(g_total, size=max_views, replace=False)
     )
-    n_wc = 2
+    # Padded map dims, as the kernel pads for the rowsel family
+    # (_build_runner: min_h = window_rows); clamp n_wc to the map width
+    # the same way the kernel does.
+    hp = h + max(int(wr) - h, (-h) % 8)
+    wp = w + ((-w) % 128)
+    n_wc = min(int(n_wc), wp // 128)
     n_valid = 0
     spans, vlocs = [], []
     for vv in view_sel:
@@ -1344,12 +1365,20 @@ def _sample_group_spans(
             big = 1 << 30
             vm = np.where(valid, vi, big)
             um = np.where(valid, ui, big)
-            u0 = max(0, (int(um.min()) // 128) * 128)
+            u0 = min(max(0, (int(um.min()) // 128) * 128),
+                     wp - 128 * n_wc)
             rowmin = vm.min(axis=1, keepdims=True)
-            v0 = max(0, (int(rowmin.min()) // 8) * 8)
+            v0 = min(max(0, (int(rowmin.min()) // 8) * 8), hp - int(wr))
             in_u = valid & (ui >= u0) & (ui < u0 + 128 * n_wc)
-            spans.append((vi - rowmin)[in_u])
-            vlocs.append((vi - v0)[in_u])
+            out_u = valid & ~in_u
+            spans.append(np.concatenate([
+                (vi - rowmin)[in_u],
+                np.full(int(out_u.sum()), big, np.int64),
+            ]))
+            vlocs.append(np.concatenate([
+                (vi - v0)[in_u],
+                np.full(int(out_u.sum()), big, np.int64),
+            ]))
     if not spans:
         return 0, np.zeros(0, np.int64), np.zeros(0, np.int64)
     return n_valid, np.concatenate(spans), np.concatenate(vlocs)
@@ -1541,20 +1570,30 @@ class OrientedFusionPlan:
                 )
             )
 
-    def _span_stats(self, gi: int):
+    def _span_stats(self, gi: int, wr: int, n_wc: int):
         """Lazily-sampled span statistics for orientation group ``gi``
-        (see :func:`_sample_group_spans`)."""
+        under the ``(wr, n_wc)`` window geometry (cached per geometry;
+        see :func:`_sample_group_spans`)."""
         g = self.groups[gi]
         if g["span_stats"] is None:
+            g["span_stats"] = {}
+        key = (int(wr), int(n_wc))
+        if key not in g["span_stats"]:
             tx_u, ty_u, tz_u, tc_u, czp = g["stat_tables"]
-            g["span_stats"] = _sample_group_spans(
+            g["span_stats"][key] = _sample_group_spans(
                 tx_u, ty_u, tz_u, tc_u,
                 czp, g["cyp"], g["cxp"], self._h, self._w,
-                self.subtile_rows, seed=gi,
+                self.subtile_rows, wr=int(wr), n_wc=int(n_wc), seed=gi,
             )
-        return g["span_stats"]
+        return g["span_stats"][key]
 
-    def _group_passes(self, rowsel_passes, window_rows):
+    def _kernel_n_wc(self, windows) -> int:
+        """The column-window count the kernel will actually use for this
+        plan's depth maps (mirrors _build_runner's clamp)."""
+        wp = self._w + ((-self._w) % 128)
+        return min(int(windows[1]), wp // 128)
+
+    def _group_passes(self, rowsel_passes, window_rows, n_wc=2):
         """Per-group pass counts: `rowsel_passes` verbatim for ints, or the
         coverage-adaptive recommendation per orientation group for 'auto'
         (host-computable tilt -> pass count; see recommend_rowsel_passes).
@@ -1563,22 +1602,27 @@ class OrientedFusionPlan:
         if rowsel_passes != "auto":
             return [int(rowsel_passes)] * len(self.groups)
         return [
-            recommend_rowsel_passes(self._span_stats(gi), int(window_rows))
+            recommend_rowsel_passes(
+                self._span_stats(gi, int(window_rows), n_wc),
+                int(window_rows),
+            )
             for gi in range(len(self.groups))
         ]
 
     def _statically_covered_groups(self, rowsel_passes, window_rows,
-                                   min_samples: int = 5000):
+                                   n_wc=2, min_samples: int = 5000):
         """Group indices whose SAMPLED span statistics show the static
         passes covering every valid pair (zero expected remainder work):
         candidates for the tracked no-remainder fast path, whose measured
         rate is ~3x the inline kernel (fast-path 14.4 G vs inline 4.9 G
         @512^3x32 k2, docs/KERNEL.md coverage sweep). The sample is an
         ESTIMATE — callers must keep the exact per-group fallback."""
-        ks = self._group_passes(rowsel_passes, window_rows)
+        ks = self._group_passes(rowsel_passes, window_rows, n_wc)
         out = []
         for gi in range(len(self.groups)):
-            n_valid, span, vloc = self._span_stats(gi)
+            n_valid, span, vloc = self._span_stats(
+                gi, int(window_rows), n_wc
+            )
             if n_valid < min_samples:
                 continue
             servable = vloc < int(window_rows)
@@ -1643,7 +1687,7 @@ class OrientedFusionPlan:
             (g["order"], g["inv"], g["pad"], g["cyp"], g["cxp"])
             for g in self.groups
         ]
-        group_ks = self._group_passes(rowsel_passes, window_rows)
+        group_ks = self._group_passes(rowsel_passes, window_rows, n_wc)
         self.group_passes = list(group_ks)
         if group_index is not None:
             gsel = slice(group_index, group_index + 1)
@@ -1736,10 +1780,18 @@ class OrientedFusionPlan:
             int(view_block), int(z_block), str(anchors),
         )
         vol = jnp.asarray(volume_zyx, jnp.float32)
+        # Reset per run: stale per-group miss counts from a previous call
+        # must not leak into paths that never populate them.
+        self.last_group_miss = []
         if fast_groups and mode in ("rowsel", "rowsel3"):
-            fast = set(
-                self._statically_covered_groups(rowsel_passes, window_rows)
+            tracked_viable = INTERPRET or _fast_groups_viable(
+                mode, self._h, self._w, int(window_rows)
             )
+            fast = set(
+                self._statically_covered_groups(
+                    rowsel_passes, window_rows, self._kernel_n_wc(windows)
+                )
+            ) if tracked_viable else set()
             if fast:
                 # Sequential per-group chain in meta order — the same
                 # group order as the single fused runner, so results are

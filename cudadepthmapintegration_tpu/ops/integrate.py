@@ -240,7 +240,12 @@ class TSDFIntegrator:
                 rowsel_passes="auto", fast_groups="auto",
             )
             self.views_fused += len(views)
-            self.volume_sweeps += len(plan.groups)
+            # One volume RMW per orientation group, plus one more for each
+            # fast-routed group whose sample lied (tracked sweep + exact
+            # re-run; plan.last_group_miss is -1 for inline groups).
+            self.volume_sweeps += len(plan.groups) + sum(
+                1 for m in getattr(plan, "last_group_miss", []) if m > 0
+            )
             return self
         tables = projection_tables(self.grid, views, np.dtype(self.dtype))
         depths = np.stack([v.depth for v in views]).astype(self.dtype)

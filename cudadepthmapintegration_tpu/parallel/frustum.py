@@ -82,7 +82,10 @@ def slab_view_mask(
     depth-map shape."""
     cz = grid.volume_shape[0]
     if cz % n_shards:
-        raise ValueError(f"z cells ({cz}) must divide n_shards ({n_shards})")
+        raise ValueError(
+            f"n_shards ({n_shards}) must divide the z cell count ({cz});"
+            " pad the grid dims"
+        )
     m = cz // n_shards
     mask = np.zeros((n_shards, len(views)), bool)
     for i, view in enumerate(views):

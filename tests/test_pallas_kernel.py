@@ -565,3 +565,58 @@ def test_fast_groups_auto_bit_identical():
     np.testing.assert_array_equal(got, ref)
     assert any(m == 0 for m in plan.last_group_miss)  # fast path engaged
     assert any(m == -1 for m in plan.last_group_miss)  # inline groups too
+
+
+def test_fast_groups_not_viable_on_oversized_maps():
+    """The tracked twin keeps the whole-map VMEM residency requirement, so
+    fast_groups must be skipped (not crash with the diagnostic's hard
+    VMEM error) whenever _vmem_safe_mode would downgrade or HBM-route the
+    exact mode — regression for the production default path
+    (mode='rowsel3', fast_groups='auto') with HD depth maps."""
+    from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
+        _fast_groups_viable,
+    )
+
+    assert _fast_groups_viable("rowsel3", 480, 640, 64)
+    assert _fast_groups_viable("rowsel", 480, 640, 64)
+    # 3-plane ceiling exceeded -> downgrade -> tracked twin would differ.
+    assert not _fast_groups_viable("rowsel3", 768, 1024, 64)
+    # Single-plane ceiling exceeded -> HBM route -> tracked twin RAISES.
+    assert not _fast_groups_viable("rowsel3", 1080, 1920, 64)
+    assert not _fast_groups_viable("rowsel", 1536, 2048, 64)
+
+
+def test_wide_u_span_group_not_statically_covered():
+    """A group whose subtiles project WIDER in u than the kernel's
+    128*n_wc column window must not be classified statically covered: the
+    kernel counts out-of-window pairs as remainder work, so the sampler
+    has to as well (they were previously dropped from the statistics,
+    making wide-u scans masquerade as zero-miss fast-path candidates)."""
+    from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
+        OrientedFusionPlan,
+    )
+    from cudadepthmapintegration_tpu.testing import (
+        look_at_camera,
+        render_sphere_view,
+    )
+
+    W, H = 1024, 64
+    # Straight-down mapping scan (one orientation group, zero tilt) with a
+    # long focal: ~60 px per voxel in u, so 16 voxel columns span ~960 px
+    # >> the 256 px (n_wc=2) window.
+    cams = [
+        look_at_camera((x, y, 4.0), (x, y, 0.0), focal=1200.0,
+                       width=W, height=H)
+        for x in (-0.2, 0.2) for y in (-0.2, 0.2)
+    ]
+    views = [render_sphere_view(c, W, H, radius=1.0, background=-1.0)
+             for c in cams]
+    plan = OrientedFusionPlan(small_grid(), views, PARAMS)
+    covered = plan._statically_covered_groups("auto", 32, min_samples=100)
+    assert covered == [], (
+        "wide-u group must stay on the inline kernel, got %r" % covered
+    )
+    n_valid, span, vloc = plan._span_stats(0, 32, 2)
+    assert n_valid >= 100 and (vloc >= 32).any(), (
+        "sampler should see out-of-window pairs as unservable"
+    )
