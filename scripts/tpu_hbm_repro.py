@@ -421,6 +421,166 @@ def v12():
     )(depth_data(), vol)
 
 
+def v13():
+    """DMA offsets loaded from an SMEM INPUT ref at a DYNAMIC index (the
+    real kernel's anch_ref[0, jt, abase] pattern, post-SMEM-anchor fix)."""
+    def kernel(anch_ref, d_ref, o_ref, scr, sem):
+        view = pl.program_id(0)
+
+        def jt_body(jt, _):
+            v0 = anch_ref[0, jt, 2 * view]
+            u0 = anch_ref[0, jt, 2 * view + 1]
+            dma = pltpu.make_async_copy(
+                d_ref.at[view, :, pl.ds(v0, WR), pl.ds(u0, WC)], scr, sem
+            )
+            dma.start()
+            dma.wait()
+            o_ref[0] = (scr[0, :SJ, :128] + scr[1, :SJ, :128]
+                        + scr[2, :SJ, :128])
+            return 0
+
+        jax.lax.fori_loop(0, 3, jt_body, 0)
+
+    anch = np.zeros((1, 3, 2 * V), np.int32)
+    anch[0, :, 0::2] = 8
+    anch[0, :, 1::2] = 128
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((V, SJ, 128), jnp.float32),
+        grid=(V,),
+        in_specs=[pl.BlockSpec((1, 3, 2 * V), lambda v: (0, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, SJ, 128), lambda v: (v, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((PL3, WR, WC), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+    )(jnp.asarray(anch), depth_data())
+
+
+def v14():
+    """while-loop BOUNDS from vector reductions (the walk's rv_hi/ru_hi)
+    with scalar-carry DMA offsets in the body — the remaining untested
+    construct of the real kernel's remainder walk."""
+    def kernel(d_ref, o_ref, rem, sem):
+        view = pl.program_id(0)
+        vals = jax.lax.broadcasted_iota(jnp.int32, (SJ, 128), 1) % 17
+        rv_hi = jnp.max(jnp.where(vals > 5, vals, -1))  # vector-derived
+        ru_hi = jnp.max(vals)
+
+        def row_cond(c):
+            return c[0] <= rv_hi
+
+        def row_body(c):
+            rs, acc = c
+
+            def col_cond(cc):
+                return cc[0] <= ru_hi
+
+            def col_body(cc):
+                cs, cacc = cc
+                d2 = pltpu.make_async_copy(
+                    d_ref.at[view, :, pl.ds(pl.multiple_of(rs * 8, 8), 8),
+                             pl.ds(pl.multiple_of(cs * 128, 128), 128)],
+                    rem, sem,
+                )
+                d2.start()
+                d2.wait()
+                return cs + 1, cacc + rem[0] + rem[1] + rem[2]
+
+            _, acc = jax.lax.while_loop(
+                col_cond, col_body, (jnp.int32(0), acc)
+            )
+            return rs + 1, acc
+
+        _, out = jax.lax.while_loop(
+            row_cond, row_body,
+            (jnp.int32(0), jnp.zeros((8, 128), jnp.float32)),
+        )
+        o_ref[0] = out[:SJ]
+
+    return _blocked(
+        kernel,
+        [pltpu.VMEM((PL3, 8, 128), jnp.float32),
+         pltpu.SemaphoreType.DMA(())],
+    )
+
+
+def v15():
+    """v13 + v14 composite: SMEM-input anchors feed the big-window DMA,
+    vector-derived bounds drive the walk, plus a select-dot consumer —
+    the closest standalone mirror of _gather_pixels_hbm."""
+    def kernel(anch_ref, d_ref, o_ref, scr, rem, sem):
+        view = pl.program_id(0)
+
+        def jt_body(jt, _):
+            v0 = anch_ref[0, jt, 2 * view]
+            u0 = anch_ref[0, jt, 2 * view + 1]
+            dma = pltpu.make_async_copy(
+                d_ref.at[view, :, pl.ds(v0, WR), pl.ds(u0, WC)], scr,
+                sem.at[0],
+            )
+            dma.start()
+            vals = jax.lax.broadcasted_iota(jnp.int32, (SJ, 128), 1) % 17
+            rv_hi = jnp.max(jnp.where(vals > 5, vals * 8, -1))
+            dma.wait()
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (SJ, WR), 1)
+            p = (iota_r == (view % 3)).astype(jnp.float32)
+            acc = None
+            for i in range(3):
+                a = jax.lax.dot_general(
+                    p, scr[i, :, 0:128], (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32,
+                )
+                acc = a if acc is None else acc + a
+
+            def row_cond(c):
+                return c[0] <= rv_hi
+
+            def row_body(c):
+                rs, racc = c
+                d2 = pltpu.make_async_copy(
+                    d_ref.at[view, :, pl.ds(pl.multiple_of(rs, 8), 8),
+                             pl.ds(jnp.int32(0), 128)],
+                    rem, sem.at[1],
+                )
+                d2.start()
+                d2.wait()
+                win = rem[0] + rem[1] + rem[2]
+                g = jnp.take_along_axis(
+                    jnp.broadcast_to(win[0][None, :], (SJ, 128)),
+                    vals % 128, axis=1,
+                )
+                return rs + 8, racc + g
+
+            _, out = jax.lax.while_loop(
+                row_cond, row_body,
+                (v0, jnp.zeros((SJ, 128), jnp.float32)),
+            )
+            o_ref[0] = acc + out
+            return 0
+
+        jax.lax.fori_loop(0, 3, jt_body, 0)
+
+    anch = np.zeros((1, 3, 2 * V), np.int32)
+    anch[0, :, 0::2] = 8
+    anch[0, :, 1::2] = 128
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((V, SJ, 128), jnp.float32),
+        grid=(V,),
+        in_specs=[pl.BlockSpec((1, 3, 2 * V), lambda v: (0, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, SJ, 128), lambda v: (v, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((PL3, WR, WC), jnp.float32),
+                        pltpu.VMEM((PL3, 8, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )(jnp.asarray(anch), depth_data())
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     names = set(sys.argv[1:])
@@ -432,6 +592,9 @@ def main():
                      ("m2-noovl", m2), ("m4-1plane-min", m4),
                      ("v11-vec-anchor-dma", v11),
                      ("v12-alias-accum", v12),
+                     ("v13-smem-anchor-dma", v13),
+                     ("v14-vec-bound-walk", v14),
+                     ("v15-composite", v15),
                      ("v7-real-kernel", v7),
                      ("v1-dyn-lead", v1)):
         if names and name.split("-")[0] not in names:
