@@ -581,6 +581,188 @@ def v15():
     )(jnp.asarray(anch), depth_data())
 
 
+def v16a():
+    """SMEM-input load at a PROGRAM-ID-only index (no fori carry in the
+    index chain) -> DMA offset. Distinguishes 'SMEM loads can't feed DMA'
+    from 'fori-carry-indexed SMEM loads can't feed DMA' (v13 had jt)."""
+    def kernel(anch_ref, d_ref, o_ref, scr, sem):
+        view = pl.program_id(0)
+        v0 = anch_ref[0, 0, 2 * view]
+        u0 = anch_ref[0, 0, 2 * view + 1]
+        dma = pltpu.make_async_copy(
+            d_ref.at[view, :, pl.ds(v0, WR), pl.ds(u0, WC)], scr, sem
+        )
+        dma.start()
+        dma.wait()
+        o_ref[0] = scr[0, :SJ, :128] + scr[1, :SJ, :128] + scr[2, :SJ, :128]
+
+    anch = np.zeros((1, 3, 2 * V), np.int32)
+    anch[0, :, 0::2] = 8
+    anch[0, :, 1::2] = 128
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((V, SJ, 128), jnp.float32),
+        grid=(V,),
+        in_specs=[pl.BlockSpec((1, 3, 2 * V), lambda v: (0, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, SJ, 128), lambda v: (v, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((PL3, WR, WC), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+    )(jnp.asarray(anch), depth_data())
+
+
+def v16b():
+    """SMEM-input load at a fully STATIC index -> DMA offset."""
+    def kernel(anch_ref, d_ref, o_ref, scr, sem):
+        view = pl.program_id(0)
+        v0 = anch_ref[0, 0, 0]
+        u0 = anch_ref[0, 0, 1]
+        dma = pltpu.make_async_copy(
+            d_ref.at[view, :, pl.ds(v0, WR), pl.ds(u0, WC)], scr, sem
+        )
+        dma.start()
+        dma.wait()
+        o_ref[0] = scr[0, :SJ, :128] + scr[1, :SJ, :128] + scr[2, :SJ, :128]
+
+    anch = np.full((1, 3, 2 * V), 8, np.int32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((V, SJ, 128), jnp.float32),
+        grid=(V,),
+        in_specs=[pl.BlockSpec((1, 3, 2 * V), lambda v: (0, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, SJ, 128), lambda v: (v, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((PL3, WR, WC), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+    )(jnp.asarray(anch), depth_data())
+
+
+def v17():
+    """Scalar-PREFETCH anchors (PrefetchScalarGridSpec — the blessed
+    channel for scalars that drive addressing) -> DMA offset, index from
+    program_id."""
+    def kernel(anch_ref, d_ref, o_ref, scr, sem):
+        view = pl.program_id(0)
+        v0 = anch_ref[2 * view]
+        u0 = anch_ref[2 * view + 1]
+        dma = pltpu.make_async_copy(
+            d_ref.at[view, :, pl.ds(v0, WR), pl.ds(u0, WC)], scr, sem
+        )
+        dma.start()
+        dma.wait()
+        o_ref[0] = scr[0, :SJ, :128] + scr[1, :SJ, :128] + scr[2, :SJ, :128]
+
+    anch = np.zeros(2 * V, np.int32)
+    anch[0::2] = 8
+    anch[1::2] = 128
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((V, SJ, 128), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(V,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, SJ, 128), lambda v, sp: (v, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((PL3, WR, WC), jnp.float32),
+                            pltpu.SemaphoreType.DMA(())],
+        ),
+    )(jnp.asarray(anch), depth_data())
+
+
+def v18():
+    """Window staging through the PIPELINE instead of manual DMA:
+    pl.Element dims with a scalar-prefetch-driven index_map place a
+    (WR, WC) window at a dynamic 8/128-aligned anchor per grid step.
+    No make_async_copy in the kernel at all — if this compiles, the HBM
+    modes can be rebuilt on it (anchors drive block fetches, the kernel
+    consumes a VMEM window exactly like the whole-map modes)."""
+    def kernel(anch_ref, d_ref, o_ref):
+        del anch_ref
+        o_ref[0] = (d_ref[0, 0, :SJ, :128] + d_ref[0, 1, :SJ, :128]
+                    + d_ref[0, 2, :SJ, :128])
+
+    anch = np.zeros((V, 2), np.int32)
+    anch[:, 0] = 8
+    anch[:, 1] = 128
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((V, SJ, 128), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(V,),
+            in_specs=[pl.BlockSpec(
+                (pl.Element(1), pl.Element(PL3), pl.Element(WR),
+                 pl.Element(WC)),
+                lambda v, sp: (v, 0, sp[v, 0], sp[v, 1]),
+            )],
+            out_specs=pl.BlockSpec((1, SJ, 128), lambda v, sp: (v, 0, 0)),
+        ),
+    )(jnp.asarray(anch), depth_data())
+
+
+def v19():
+    """v18 + a select-dot consumer + a VMEM-local dynamic-ds walk over the
+    staged window (the full _gather_pixels_multi machinery shape, minus
+    whole-map residency) — the complete pipeline-staged HBM design."""
+    def kernel(anch_ref, d_ref, o_ref):
+        view = pl.program_id(0)
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (SJ, WR), 1)
+        p = (iota_r == (view % 3)).astype(jnp.float32)
+        acc = None
+        for i in range(3):
+            a = jax.lax.dot_general(
+                p, d_ref[0, i, :, 0:128], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32,
+            )
+            acc = a if acc is None else acc + a
+        # VMEM-local walk with vector-derived bounds + dynamic ds reads
+        # (legal in the whole-map modes; confirm against a pipelined
+        # Element block).
+        vals = jax.lax.broadcasted_iota(jnp.int32, (SJ, 128), 1) % 17
+        rv_hi = jnp.max(jnp.where(vals > 5, vals, -1))
+
+        def cond(c):
+            return c[0] <= rv_hi
+
+        def body(c):
+            rs, racc = c
+            win = d_ref[0, 0, pl.ds(pl.multiple_of(rs * 8 % WR, 8), 8),
+                        0:128]
+            g = jnp.take_along_axis(
+                jnp.broadcast_to(win[0][None, :], (SJ, 128)),
+                vals % 128, axis=1,
+            )
+            return rs + 1, racc + g
+
+        _, out = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.zeros((SJ, 128), jnp.float32))
+        )
+        o_ref[0] = acc + out
+
+    anch = np.zeros((V, 2), np.int32)
+    anch[:, 0] = 8
+    anch[:, 1] = 128
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((V, SJ, 128), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(V,),
+            in_specs=[pl.BlockSpec(
+                (pl.Element(1), pl.Element(PL3), pl.Element(WR),
+                 pl.Element(WC)),
+                lambda v, sp: (v, 0, sp[v, 0], sp[v, 1]),
+            )],
+            out_specs=pl.BlockSpec((1, SJ, 128), lambda v, sp: (v, 0, 0)),
+        ),
+    )(jnp.asarray(anch), depth_data())
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     names = set(sys.argv[1:])
@@ -595,6 +777,11 @@ def main():
                      ("v13-smem-anchor-dma", v13),
                      ("v14-vec-bound-walk", v14),
                      ("v15-composite", v15),
+                     ("v16a-smem-pid-dma", v16a),
+                     ("v16b-smem-static-dma", v16b),
+                     ("v17-prefetch-dma", v17),
+                     ("v18-element-pipeline", v18),
+                     ("v19-element-consumer", v19),
                      ("v7-real-kernel", v7),
                      ("v1-dyn-lead", v1)):
         if names and name.split("-")[0] not in names:
