@@ -68,11 +68,6 @@ INTERPRET = False
 # (they truncate the selected depth mantissa). Read at trace time.
 ROWSEL_PRECISION = jax.lax.Precision.HIGHEST
 
-# COMPILER-TRIAGE knobs for the HBM modes (scripts/tpu_hbm_repro.py):
-# results are WRONG when skipping the remainder — bisection only.
-HBM_NO_OVERLAP = False      # wait the window DMA before the reductions
-HBM_SKIP_REMAINDER = False  # drop the DMA remainder walk entirely
-
 # Cap on the double-buffered (vb, [3,] hp, wp) depth block: view_block is
 # clamped so 2x the block stays under this many bytes of the ~16 MiB
 # scoped-VMEM budget (the volume block, tables, and kernel temporaries
@@ -438,236 +433,136 @@ def _gather_pixels_multi(
     return ds_
 
 
-def _hbm_anchors(tx, ty_vc, tz_kv, tc, *, sj, n_wc, hp, wp):
-    """Conservative per-(z, subtile-row, column-tile, view) window anchors
-    for the HBM depth modes, computed OUTSIDE the kernel (plain XLA,
-    jit-safe) and fed to it through SMEM.
+def _hbm_band_rows(wp: int, split3: bool, wr: int) -> int:
+    """Band height for the HBM-resident depth modes (full-width bands).
 
-    Why this exists (measured, scripts/tpu_hbm_repro.py): Mosaic crashes
-    (remote-compile 500) when a DMA descriptor offset derives from a
-    VECTOR reduction — the kernel's exact footprint anchors are
-    ``jnp.min`` over the subtile, so the HBM window DMA cannot use them.
-    Vector-derived scalars remain fine for CONTROL FLOW (the remainder
-    walk's upper bounds), so only the DMA-feeding LOWER anchors move
-    here.
+    The band-sweep design stages the depth map as FULL-WIDTH horizontal
+    bands of ``bv`` rows — a regular Blocked BlockSpec whose index is a
+    GRID axis, i.e. placement is program_id-pure. That constraint is the
+    bisection result (scripts/tpu_hbm_repro.py, docs/KERNEL.md): this
+    toolchain's Mosaic crashes on manual-DMA offsets derived from ANY
+    memory load (vector reductions v11, SMEM input loads v13/v16,
+    scalar-prefetch refs v17) and on Element-dim pipelined windows
+    (v18/v19) — band-sweep uses none of those.
 
-    Method: u and v are fractional-linear over a subtile's (y, x)
-    rectangle and h2 is affine, so when h2 > 0 at all 4 corners it is
-    positive throughout and the corner u/v extremes bound the interior.
-    Corners are clamped to the REAL (non-poisoned) lattice extent —
-    padded rows/columns carry a -1e9 hom-z poison (|values| of real
-    tables are << 1e8) and never contribute. Any corner with h2 <= 0
-    (pole inside / dummy view) falls back to anchor 0: the kernel then
-    walks from row/col 0 up to the EXACT vector-derived upper bound —
-    expensive but exact, and zero-iteration when nothing misses. A 2 px
-    safety margin absorbs fp summation-order drift between this
-    evaluation and the kernel's (a violation would need a >2 px
-    excursion, thousands of ulps); the hardware parity gates pin it.
-
-    Inputs are the kernel-layout tables: tx (V, 4, cx), ty_vc (V, cy, 4),
-    tz_kv (cz, V, 4), tc (V, 4). Returns int32 (cz, cy//sj,
-    V * (cx//128) * 2) — 3-D so the kernel's SMEM block stays simple;
-    lane layout [view * nit * 2 + it * 2 + {0: vmin, 1: umin}], values
-    pre-aligned (8 rows / 128 cols) and clipped to [0, hp-8] / [0,
-    wp-128]."""
-    nv, _, cx = tx.shape
-    cy = ty_vc.shape[1]
-    cz = tz_kv.shape[0]
-    njt, nit = cy // sj, cx // 128
-    big = jnp.float32(1e8)
-    # Real (unpoisoned) extents: padding is always a suffix.
-    ny_real = jnp.sum((ty_vc[0, :, 2] > -big).astype(jnp.int32))
-    nx_real = jnp.sum((tx[0, 2, :] > -big).astype(jnp.int32))
-    y_lo = jnp.arange(njt, dtype=jnp.int32) * sj
-    y_hi = jnp.minimum(y_lo + (sj - 1), jnp.maximum(ny_real - 1, 0))
-    x_lo = jnp.arange(nit, dtype=jnp.int32) * 128
-    x_hi = jnp.minimum(x_lo + 127, jnp.maximum(nx_real - 1, 0))
-    ys = jnp.stack([y_lo, y_hi], -1)  # (njt, 2)
-    xs = jnp.stack([x_lo, x_hi], -1)  # (nit, 2)
-    # Corner tables: (V, 4, njt, 2) and (V, 4, nit, 2).
-    tyc = jnp.take(ty_vc, ys.reshape(-1), axis=1).reshape(
-        nv, njt, 2, 4
-    ).transpose(0, 3, 1, 2)
-    txc = jnp.take(tx, xs.reshape(-1), axis=2).reshape(nv, 4, nit, 2)
-    # hom[r] at each (k, v, jt, cy2, it, cx2) corner.
-    zc = tz_kv + tc[None]  # (cz, V, 4)
-
-    def hom(r):
-        return (
-            zc[:, :, r][:, :, None, None, None, None]
-            + tyc[:, r][None, :, :, :, None, None]
-            + txc[:, r][None, :, None, None, :, :]
-        )  # (cz, V, njt, 2, nit, 2)
-
-    h0, h1, h2 = hom(0), hom(1), hom(2)
-    pos = jnp.all(h2 > 0, axis=(3, 5))  # (cz, V, njt, nit)
-    safe_h2 = jnp.where(h2 > 0, h2, 1.0)
-    u = h0 / safe_h2
-    v = h1 / safe_h2
-    vmin = jnp.min(v, axis=(3, 5))
-    umin = jnp.min(u, axis=(3, 5))
-    # 2 px margin, floor to int, align, clip; pole fallback -> 0.
-    vmin_i = jnp.floor(vmin - 2.0).astype(jnp.int32) // 8 * 8
-    umin_i = jnp.floor(umin - 2.0).astype(jnp.int32) // 128 * 128
-    vmin_i = jnp.where(pos, jnp.clip(vmin_i, 0, hp - 8), 0)
-    umin_i = jnp.where(pos, jnp.clip(umin_i, 0, wp - 128), 0)
-    anch = jnp.stack([vmin_i, umin_i], axis=-1)  # (cz, V, njt, nit, 2)
-    return jnp.transpose(anch, (0, 2, 1, 3, 4)).reshape(
-        cz, njt, nv * nit * 2
-    )
+    ``bv`` defaults to the select-window height (``wr``) and shrinks by
+    halves until the double-buffered (3, bv, wp) band block fits the
+    depth VMEM budget — so arbitrarily wide maps (HD, 4K) always fit.
+    """
+    bv = max(8, (min(wr, 64) // 8) * 8)
+    planes = 3 if split3 else 1
+    while bv > 8 and 2 * planes * bv * wp * 4 > DEPTH_VMEM_BUDGET:
+        bv //= 2
+    return bv
 
 
-def _gather_pixels_hbm(
-    depth_ref, view, ui, vi, valid, vmin_s, umin_s, *,
-    hp, wp, wr, n_wc, n_k, split3, win_s, rem_s, sems,
+def _project_subtile(tx_ref, ty_ref, tz_ref, tc_ref, vv, view, kk, jt, it,
+                     *, sj, h, w):
+    """Project one (sj, 128) voxel subtile into view ``view``: separable
+    per-axis table adds -> perspective divide -> round-half-away -> bounds
+    test (``CudaReconstruction.cu:168-205`` semantics). Returns
+    (ui, vi, valid, zcam) with invalid lanes poisoned to pixel 0."""
+    tx = tx_ref[vv]  # (4, cx)
+    tys = ty_ref[vv, pl.ds(jt * sj, sj), :]  # (sj, 4)
+    zc0 = tz_ref[kk, view, 0] + tc_ref[view, 0]
+    zc1 = tz_ref[kk, view, 1] + tc_ref[view, 1]
+    zc2 = tz_ref[kk, view, 2] + tc_ref[view, 2]
+    zc3 = tz_ref[kk, view, 3] + tc_ref[view, 3]
+    txs = tx[:, it * 128 : (it + 1) * 128]  # (4, 128)
+    h0 = tys[:, 0:1] + (txs[0][None, :] + zc0)
+    h1 = tys[:, 1:2] + (txs[1][None, :] + zc1)
+    h2 = tys[:, 2:3] + (txs[2][None, :] + zc2)
+    zcam = tys[:, 3:4] + (txs[3][None, :] + zc3)
+    u = _round_half_away(h0 / h2)
+    v = _round_half_away(h1 / h2)
+    valid = (h2 >= 0) & (u >= 0) & (v >= 0) & (u < w) & (v < h)
+    ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
+    vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
+    return ui, vi, valid, zcam
+
+
+def _ray_potential_vals(zcam, d, *, thick, rho, eta, delta):
+    """Piecewise TSDF ray potential (CudaReconstruction.cu:104-120)."""
+    diff = zcam - d
+    a = jnp.abs(diff)
+    far = jnp.where(diff > 0, 0.0, -eta * rho)
+    shell = rho * jnp.sign(diff)
+    ramp = (rho / thick) * diff
+    return jnp.where(a > delta, far, jnp.where(a > thick, shell, ramp))
+
+
+def _integrate_kernel_hbm(
+    tx_ref, ty_ref, tz_ref, tc_ref, depth_ref, vol_ref, out_ref,
+    *, h, w, bv, wp, cy, cx, sj, wr, n_wc, n_k, thick, rho, eta, delta,
+    split3, anchors,
 ):
-    """Exact per-element image gather ``depth[vi, ui]`` with the depth
-    planes RESIDENT IN HBM (``depth_ref``: (V, 3, hp, wp) split planes or
-    (V, hp, wp) single plane, ``memory_space=pl.ANY``) — the whole-map
-    VMEM staging of :func:`_gather_pixels_multi` is replaced by manual
-    per-footprint DMA, so there is NO depth-map size ceiling and depth
-    HBM traffic scales with the voxel workload, not the map size.
+    """Band-sweep kernel for the HBM-resident depth modes
+    ('rowselh'/'rowsel3h') — NO depth-map size ceiling.
 
-    Per (subtile, view) unit:
+    Design (forced by the toolchain, docs/KERNEL.md "bisection status"):
+    this Mosaic build crashes on every form of data-dependent staging —
+    manual-DMA offsets from vector reductions / SMEM loads /
+    scalar-prefetch refs, and Element-dim pipelined windows. So the depth
+    map is swept in FULL-WIDTH horizontal bands of ``bv`` rows whose
+    placement is a GRID AXIS (program_id-pure Blocked BlockSpec — the
+    one proven-safe channel): grid (cz, n_jtb, V, n_bands), depth block
+    ``(1, [3,] bv, wp)`` at index ``(view, [0,] band, 0)``.
 
-    1. window anchors (vmin_s, umin_s) arrive as SMEM SCALARS from the
-       :func:`_hbm_anchors` prepass — Mosaic cannot build a DMA
-       descriptor from a vector-reduction-derived offset (measured
-       crash, scripts/tpu_hbm_repro.py v11), so the footprint minima
-       move out of the kernel; only per-row ``rowmin`` (selector input,
-       never a DMA offset) stays a vector reduction;
-    2. START one async copy of the (wr, 128*n_wc) anchored window
-       (x3 planes for split3) into ``win_s`` scratch, then overlap the
-       coverage predicate and the remainder upper-bound reductions with
-       the DMA flight time before waiting;
-    3. the n_k one-hot select passes run against the scratch window —
-       indices rebased by (v0, u0); the coverage split differs from the
-       VMEM path's (conservative anchors), the gathered VALUES do not,
-       so results stay bit-identical;
-    4. the remainder walk DMAs each (8, 128) window into ``rem_s`` on
-       demand, from the conservative SMEM anchors up to the EXACT
-       vector-derived upper bounds (control flow may consume vector
-       scalars) — zero iterations and zero copies when the static
-       passes covered the unit.
+    Per (subtile, view, band) the projected rows that land in the band
+    are served by the SAME machinery as the whole-map modes — n_k
+    one-hot select passes + exact VMEM-local remainder walk
+    (:func:`_gather_pixels_multi` with hp=bv) — with coordinates rebased
+    by ``band*bv`` (program-id arithmetic). Every valid pair lands in
+    exactly ONE band, so the union over bands is exact and each voxel
+    still accumulates each view exactly once, in view order —
+    bit-identical to the whole-map modes at vb=1. Bands that intersect
+    nothing are skipped behind a vector-reduced ``pl.when`` (legal for
+    control flow; only DMA offsets were restricted).
 
     The reference streams any-size maps through global memory
     (``Reconstruction/CudaReconstruction.cu:320-331``); this is the TPU
-    equivalent (VMEM ~= shared memory can't hold HD maps; HBM can).
+    equivalent: HBM holds the map, VMEM sees one band at a time.
     """
-    big = jnp.int32(1 << 30)
-    rowmin = jnp.min(jnp.where(valid, vi, big), axis=1, keepdims=True)
-    wcols = 128 * n_wc
-    # SMEM scalar arithmetic only — these feed DMA descriptors.
-    v0 = jnp.minimum(vmin_s, hp - wr)
-    u0 = jnp.minimum(umin_s, wp - wcols)
-    vi_loc = vi - v0
-    rmin = rowmin - v0
+    band = pl.program_id(3)
+    v_base = band * bv  # program_id-pure scalar
 
-    src = (
-        depth_ref.at[view, :, pl.ds(v0, wr), pl.ds(u0, wcols)]
+    @pl.when((pl.program_id(2) == 0) & (band == 0))
+    def _():
+        out_ref[:] = vol_ref[:]
+
+    view = pl.program_id(2)
+    planes = (
+        tuple(depth_ref.at[0, i] for i in range(3))
         if split3
-        else depth_ref.at[view, pl.ds(v0, wr), pl.ds(u0, wcols)]
+        else (depth_ref.at[0],)
     )
-    dma = pltpu.make_async_copy(src, win_s, sems.at[0])
-    dma.start()
-    if HBM_NO_OVERLAP:
-        dma.wait()
 
-    # Overlap with the DMA: coverage predicate + remainder bbox (none of
-    # it needs the gathered values — cf. _gather_pixels_multi where these
-    # run after the passes).
-    covered = (
-        valid
-        & (vi_loc >= 0)
-        & (vi_loc < wr)
-        & (vi - rowmin < n_k)
-        & (ui >= u0)
-        & (ui < u0 + wcols)
-    )
-    rem = valid & ~covered
-    # Upper bounds stay EXACT (vector-derived — legal for control flow);
-    # the walk's DMA-feeding lower bounds are the conservative SMEM
-    # anchors (vmin_s <= any valid vi, umin_s <= any valid ui, 2 px
-    # margin), so every rem pixel is visited.
-    rv_hi = jnp.max(jnp.where(rem, vi, -1))
-    ru_hi = jnp.max(jnp.where(rem, ui, -1))
-    rv0 = vmin_s  # already 8-aligned, clipped to [0, hp-8]
-    ru0 = umin_s  # already 128-aligned, clipped to [0, wp-128]
-
-    if not HBM_NO_OVERLAP:
-        dma.wait()
-    d = jnp.zeros(valid.shape, jnp.float32)
-    for c in range(n_wc):
-        if split3:
-            wins = [win_s[i, :, 128 * c : 128 * (c + 1)] for i in range(3)]
-        else:
-            wins = [win_s[:, 128 * c : 128 * (c + 1)]]
-        cs = u0 + 128 * c
-        u_loc = jnp.clip(ui - cs, 0, 127)
-        sel_c = valid & (ui >= cs) & (ui < cs + 128)
-        for k in range(n_k):
-            if split3:
-                d, _ = _rowsel_pass_sum(
-                    wins, rmin + k, vi_loc, u_loc, sel_c, d, wr
-                )
-            else:
-                (d,), _ = _rowsel_pass(
-                    wins, rmin + k, vi_loc, u_loc, sel_c, (d,), wr
-                )
-
-    # Exact remainder: walk (8, 128) windows over the uncovered bbox,
-    # DMA'ing each from HBM on demand (zero iterations — zero copies —
-    # when the static passes covered the unit).
-    def rem_window(rs, cs, d_):
-        src_w = (
-            depth_ref.at[view, :, pl.ds(rs, 8), pl.ds(cs, 128)]
-            if split3
-            else depth_ref.at[view, pl.ds(rs, 8), pl.ds(cs, 128)]
-        )
-        dma_w = pltpu.make_async_copy(src_w, rem_s, sems.at[1])
-        dma_w.start()
-        dma_w.wait()
-        # split3 remainder reconstructs fp32 by the exact plane sum
-        # (mirrors _window_pass_sum).
-        win = (rem_s[0] + rem_s[1] + rem_s[2]) if split3 else rem_s[:]
-        u_loc = jnp.clip(ui - cs, 0, 127)
-        sel_c = rem & (ui >= cs) & (ui < cs + 128)
-        for rr in range(8):
-            match = sel_c & (vi == rs + rr)
-            d_ = jnp.where(
-                match,
-                jnp.take_along_axis(
-                    jnp.broadcast_to(win[rr][None, :], rem.shape),
-                    u_loc, axis=1,
-                ),
-                d_,
+    def jt_body(jt, _):
+        for it in range(cx // 128):
+            ui, vi, valid, zcam = _project_subtile(
+                tx_ref, ty_ref, tz_ref, tc_ref, 0, view, 0, jt, it,
+                sj=sj, h=h, w=w,
             )
-        return d_
+            in_band = valid & (vi >= v_base) & (vi < v_base + bv)
 
-    if HBM_SKIP_REMAINDER:
-        return d  # TRIAGE ONLY: uncovered pairs contribute nothing
+            @pl.when(jnp.any(in_band))
+            def _(it=it, ui=ui, vi=vi, in_band=in_band, zcam=zcam):
+                vi_b = jnp.where(in_band, vi - v_base, 0)
+                d = _gather_pixels_multi(
+                    planes, ui, vi_b, in_band,
+                    hp=bv, wp=wp, wr=min(wr, bv), n_wc=n_wc, n_k=n_k,
+                    sum_planes=split3, anchors=anchors,
+                )[0]
+                ok = in_band & (d != -1.0)
+                val = _ray_potential_vals(
+                    zcam, d, thick=thick, rho=rho, eta=eta, delta=delta
+                )
+                sl = (0, pl.ds(jt * sj, sj), pl.ds(it * 128, 128))
+                out_ref[sl] += jnp.where(ok, val, 0.0)
 
-    def row_cond(c_):
-        return c_[0] <= rv_hi
+        return 0
 
-    def row_body(c_):
-        rs, acc = c_
-
-        def col_cond(cc):
-            return cc[0] <= ru_hi
-
-        def col_body(cc):
-            cs_, cacc = cc
-            cacc = rem_window(
-                pl.multiple_of(rs, 8), pl.multiple_of(cs_, 128), cacc
-            )
-            return cs_ + 128, cacc
-
-        _, acc = jax.lax.while_loop(col_cond, col_body, (ru0, acc))
-        return rs + 8, acc
-
-    _, d = jax.lax.while_loop(row_cond, row_body, (rv0, d))
-    return d
+    jax.lax.fori_loop(0, cy // sj, jt_body, 0)
 
 
 def _integrate_kernel_v2(
@@ -706,21 +601,14 @@ def _integrate_kernel_v2(
     ``OrientedFusionPlan.run``), so results remain exact for arbitrary
     geometry with the remainder cost paid only on actual misses.
 
-    hbm=True (modes 'rowselh'/'rowsel3h'): ``depth_ref`` is the FULL
-    (V, [3,] hp, wp) array in HBM (``pl.ANY``); an extra SMEM input (the
-    :func:`_hbm_anchors` prepass output) arrives as the 7th argument —
-    i.e. what binds ``out_ref`` here — and ``refs`` carries the real
-    output plus the (win_s, rem_s, sems) scratch for
-    :func:`_gather_pixels_hbm`. No whole-map VMEM staging, no depth-map
-    size ceiling.
+    hbm modes ('rowselh'/'rowsel3h') use the dedicated band-sweep kernel
+    :func:`_integrate_kernel_hbm` instead of this one.
     """
-    miss_ref = anch_ref = None
+    del hbm
+    miss_ref = None
     if track_miss:
         (miss_ref,) = refs
-    elif hbm:
-        anch_ref = out_ref  # inputs precede outputs: 7th arg = anchors
-        out_ref, win_s, rem_s, sems = refs
-    vb = 1 if hbm else depth_ref.shape[0]
+    vb = depth_ref.shape[0]
     kzn = out_ref.shape[0]  # z-slices per volume block (kz)
 
     @pl.when(pl.program_id(2) == 0)
@@ -752,42 +640,17 @@ def _integrate_kernel_v2(
             acc = jnp.zeros((sj, 128), jnp.float32)
             for vv in range(vb):
                 view = view0 + vv
-                tx = tx_ref[vv]  # (4, cx)
-                if hbm:
-                    pass  # depth stays in HBM; windows DMA'd per unit
-                elif split3:
+                if split3:
                     # (3, hp, wp): exact hi/mid/lo split planes.
                     planes = tuple(depth_ref.at[vv, i] for i in range(3))
                 else:
                     depth = depth_ref.at[vv]  # (hp, wp)
-                tys = ty_ref[vv, pl.ds(jt * sj, sj), :]  # (sj, 4)
-                zc0 = tz_ref[kk, view, 0] + tc_ref[view, 0]
-                zc1 = tz_ref[kk, view, 1] + tc_ref[view, 1]
-                zc2 = tz_ref[kk, view, 2] + tc_ref[view, 2]
-                zc3 = tz_ref[kk, view, 3] + tc_ref[view, 3]
-                txs = tx[:, it * 128 : (it + 1) * 128]  # (4, 128)
-                h0 = tys[:, 0:1] + (txs[0][None, :] + zc0)
-                h1 = tys[:, 1:2] + (txs[1][None, :] + zc1)
-                h2 = tys[:, 2:3] + (txs[2][None, :] + zc2)
-                zcam = tys[:, 3:4] + (txs[3][None, :] + zc3)
-                u = _round_half_away(h0 / h2)
-                v = _round_half_away(h1 / h2)
-                valid = (h2 >= 0) & (u >= 0) & (v >= 0) & (u < w) & (v < h)
-                ui = jnp.where(valid, u, 0.0).astype(jnp.int32)
-                vi = jnp.where(valid, v, 0.0).astype(jnp.int32)
+                ui, vi, valid, zcam = _project_subtile(
+                    tx_ref, ty_ref, tz_ref, tc_ref, vv, view, kk, jt, it,
+                    sj=sj, h=h, w=w,
+                )
 
-                if hbm:
-                    abase = view * ((cx // 128) * 2) + it * 2
-                    d = _gather_pixels_hbm(
-                        depth_ref, view, ui, vi, valid,
-                        anch_ref[0, jt, abase],
-                        anch_ref[0, jt, abase + 1],
-                        hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
-                        split3=split3,
-                        win_s=win_s, rem_s=rem_s, sems=sems,
-                    )
-                    valid &= d != -1.0
-                elif track_miss:
+                if track_miss:
                     gp_planes = planes if split3 else (depth,)
                     ds_, covered = _gather_pixels_multi(
                         gp_planes, ui, vi, valid,
@@ -805,14 +668,8 @@ def _integrate_kernel_v2(
                         sum_planes=split3, anchors=anchors,
                     )[0]
                     valid &= d != -1.0
-                # Ray potential (CudaReconstruction.cu:104-120).
-                diff = zcam - d
-                a = jnp.abs(diff)
-                far = jnp.where(diff > 0, 0.0, -eta * rho)
-                shell = rho * jnp.sign(diff)
-                ramp = (rho / thick) * diff
-                val = jnp.where(
-                    a > delta, far, jnp.where(a > thick, shell, ramp)
+                val = _ray_potential_vals(
+                    zcam, d, thick=thick, rho=rho, eta=eta, delta=delta
                 )
                 acc = acc + jnp.where(valid, val, 0.0)
             if kzn == 1:
@@ -1046,14 +903,75 @@ def _pallas_integrate_impl(
         kz = 1
     while kz > 1 and (cz % kz or kz * cy_b * cx * 4 > (4 << 20)):
         kz -= 1
-    if mode in ("rowsel", "rowsel3", "rowselm", "rowsel3m",
-                "rowselh", "rowsel3h"):
+    if hbm:
+        # Band-sweep: full-width (bv, wp) depth bands as a 4th GRID axis —
+        # placement is program_id-pure (the only staging channel this
+        # toolchain's Mosaic compiles; see _integrate_kernel_hbm).
+        bv = _hbm_band_rows(wp, split3, min(wr, hp))
+        if hp % bv:
+            raise ValueError(
+                f"hbm modes need depth maps padded to band multiples "
+                f"(hp={hp}, bv={bv}); pallas_integrate/OrientedFusionPlan "
+                f"pad automatically — pad manually for direct calls"
+            )
+        n_bands = hp // bv
+        kernel = functools.partial(
+            _integrate_kernel_hbm,
+            h=h, w=w, bv=bv, wp=wp, cy=cy_b, cx=cx, sj=sj,
+            wr=min(wr, bv), n_wc=n_wc, n_k=n_k,
+            thick=thick, rho=rho, eta=eta, delta=delta,
+            split3=split3, anchors=anchors,
+        )
+        if split3:
+            depth_spec = pl.BlockSpec(
+                (1, 3, bv, wp), lambda k, jb, v, b: (v, 0, b, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            depth_spec = pl.BlockSpec(
+                (1, bv, wp), lambda k, jb, v, b: (v, b, 0),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((cz, cy, cx), jnp.float32),
+            grid=(cz, n_jtb, nviews, n_bands),
+            in_specs=[
+                pl.BlockSpec((1, 4, cx), lambda k, jb, v, b: (v, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cy_b, 4), lambda k, jb, v, b: (v, jb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nviews, 4), lambda k, jb, v, b: (k, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((nviews, 4), lambda k, jb, v, b: (0, 0),
+                             memory_space=pltpu.SMEM),
+                depth_spec,
+                pl.BlockSpec((1, cy_b, cx), lambda k, jb, v, b: (k, jb, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, cy_b, cx), lambda k, jb, v, b: (k, jb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            input_output_aliases={5: 0},
+            cost_estimate=pl.CostEstimate(
+                flops=40 * cz * cy * cx * nviews,
+                # Band staging re-reads the padded map once per
+                # (z-slice, y-block, view) — the same depth traffic as the
+                # whole-map modes; the volume is read+written once.
+                bytes_accessed=4 * cz * cy * cx * 2
+                + (3 if split3 else 1) * hp * wp * 4 * cz * n_jtb * nviews,
+                transcendentals=0,
+            ),
+            interpret=INTERPRET,
+        )(tx, ty, tz, tc, depths, volume)
+    if mode in ("rowsel", "rowsel3", "rowselm", "rowsel3m"):
         kernel = functools.partial(
             _integrate_kernel_v2,
             h=h, w=w, hp=hp, wp=wp, cy=cy_b, cx=cx, sj=sj,
             wr=min(wr, hp), n_wc=n_wc, n_k=n_k,
             thick=thick, rho=rho, eta=eta, delta=delta,
-            split3=split3, track_miss=track_miss, hbm=hbm, anchors=anchors,
+            split3=split3, track_miss=track_miss, anchors=anchors,
         )
     else:
         kernel = functools.partial(
@@ -1075,28 +993,7 @@ def _pallas_integrate_impl(
         )
     else:
         out_shape, out_specs = vol_shape, vol_spec
-    wr_eff = min(wr, hp)
-    anchor_args, anchor_specs = (), ()
-    if hbm:
-        depth_spec = pl.BlockSpec(memory_space=pl.ANY)
-        win_shape = (3, wr_eff, 128 * n_wc) if split3 else (wr_eff, 128 * n_wc)
-        rem_shape = (3, 8, 128) if split3 else (8, 128)
-        scratch_shapes = [
-            pltpu.VMEM(win_shape, jnp.float32),
-            pltpu.VMEM(rem_shape, jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]
-        anchors = _hbm_anchors(tx, ty, tz, tc, sj=sj, n_wc=n_wc,
-                               hp=hp, wp=wp)
-        jpb = cy_b // sj
-        anchor_args = (anchors,)
-        anchor_specs = (
-            pl.BlockSpec(
-                (1, jpb, anchors.shape[2]), lambda k, jb, v: (k, jb, 0),
-                memory_space=pltpu.SMEM,
-            ),
-        )
-    elif split3:
+    if split3:
         depth_spec = pl.BlockSpec(
             (vb, 3, hp, wp), lambda k, jb, v: (v, 0, 0, 0),
             memory_space=pltpu.VMEM,
@@ -1120,26 +1017,17 @@ def _pallas_integrate_impl(
             pl.BlockSpec((nviews, 4), lambda k, jb, v: (0, 0), memory_space=pltpu.SMEM),
             depth_spec,
             pl.BlockSpec((kz, cy_b, cx), lambda k, jb, v: (k, jb, 0), memory_space=pltpu.VMEM),
-            *anchor_specs,
         ],
         out_specs=out_specs,
         input_output_aliases={5: 0},
         scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_upd * cz * cy * cx * nviews,
-            bytes_accessed=4 * cz * cy * cx * 2
-            + (
-                # hbm: one (wr, 128*n_wc) window per (subtile, view) unit
-                (3 if split3 else 1)
-                * (cz * (cy // sj) * (cx // 128) * nviews)
-                * wr_eff * 128 * n_wc * 4
-                if hbm
-                else 4 * nviews * hp * wp
-            ),
+            bytes_accessed=4 * cz * cy * cx * 2 + 4 * nviews * hp * wp,
             transcendentals=0,
         ),
         interpret=INTERPRET,
-    )(tx, ty, tz, tc, depths, volume, *anchor_args)
+    )(tx, ty, tz, tc, depths, volume)
     if track_miss:
         out, miss = res
         # Per-element int32 counts stay < 2^22 (grid steps per position),
@@ -1241,8 +1129,15 @@ def pallas_integrate(
     rowsel_family = (
         "rowsel", "rowsel3", "rowselm", "rowsel3m", "rowselh", "rowsel3h"
     )
-    min_h = int(window_rows) if mode in rowsel_family else 8
-    ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
+    if mode in ("rowselh", "rowsel3h"):
+        # Band-sweep staging: pad the map height to a band multiple.
+        bv = _hbm_band_rows(
+            w + ((-w) % 128), mode == "rowsel3h", int(window_rows)
+        )
+        ph, pw = (-h) % bv, (-w) % 128
+    else:
+        min_h = int(window_rows) if mode in rowsel_family else 8
+        ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
     on_device = isinstance(depths, jax.Array)
     if ph or pw:
         pad_fn = jnp.pad if on_device else np.pad
@@ -1651,8 +1546,14 @@ class OrientedFusionPlan:
         )
         if not INTERPRET:
             mode = _vmem_safe_mode(mode, h, w, window_rows)
-        min_h = window_rows if mode in rowsel_family else 8
-        ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
+        if mode in ("rowselh", "rowsel3h"):
+            bv = _hbm_band_rows(
+                w + ((-w) % 128), mode == "rowsel3h", int(window_rows)
+            )
+            ph, pw = (-h) % bv, (-w) % 128
+        else:
+            min_h = window_rows if mode in rowsel_family else 8
+            ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
         hp, wp = h + ph, w + pw
         n_wr = min(windows[0], hp // 8)
         n_wc = min(windows[1], wp // 128)

@@ -329,20 +329,11 @@ def _real(mode="rowsel3h", **flags):
 
 
 def m1():
-    return _real(HBM_SKIP_REMAINDER=True)
-
-
-def m2():
-    return _real(HBM_NO_OVERLAP=True)
-
-
-def m3():
-    return _real(HBM_SKIP_REMAINDER=True, HBM_NO_OVERLAP=True)
+    return _real()  # band-sweep rowsel3h
 
 
 def m4():
-    return _real(mode="rowselh", HBM_SKIP_REMAINDER=True,
-                 HBM_NO_OVERLAP=True)
+    return _real(mode="rowselh")  # band-sweep single-plane
 
 
 def v7():
@@ -763,6 +754,53 @@ def v19():
     )(jnp.asarray(anch), depth_data())
 
 
+def v20():
+    """BLOCKED dims with a DYNAMIC index_map reading scalar-prefetch
+    anchors (the canonical block-sparse pattern: placement at block
+    granularity, pipeline-managed). If this compiles, the HBM modes can
+    stage full-width depth BANDS at dynamic band indices."""
+    def kernel(anch_ref, d_ref, o_ref):
+        del anch_ref
+        o_ref[0] = (d_ref[0, 0, :SJ, :128] + d_ref[0, 1, :SJ, :128]
+                    + d_ref[0, 2, :SJ, :128])
+
+    anch = np.zeros((V,), np.int32)
+    anch[:] = [0, 1, 2, 1]  # band index per view
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((V, SJ, 128), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(V,),
+            in_specs=[pl.BlockSpec(
+                (1, PL3, WR, WP),
+                lambda v, sp: (v, 0, sp[v], 0),
+            )],
+            out_specs=pl.BlockSpec((1, SJ, 128), lambda v, sp: (v, 0, 0)),
+        ),
+    )(jnp.asarray(anch), depth_data())
+
+
+def v21():
+    """Direct dynamic-ds vector LOAD from the pl.ANY (HBM) ref — no DMA,
+    no staging. Expected to be rejected at lowering; recorded for the
+    toolchain report."""
+    def kernel(d_ref, o_ref):
+        view = pl.program_id(0)
+        vals = jax.lax.broadcasted_iota(jnp.int32, (SJ, 128), 1)
+        v0 = jnp.max(jnp.where(vals > 5, vals % 16, 0)) * 8
+        o_ref[0] = d_ref[view, 0, pl.ds(v0, SJ), 0:128]
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((V, SJ, 128), jnp.float32),
+        grid=(V,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, SJ, 128), lambda v: (v, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(depth_data())
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     names = set(sys.argv[1:])
@@ -770,8 +808,7 @@ def main():
                      ("v3-per-plane", v3), ("v4-while-dma", v4),
                      ("v5-select-dot", v5), ("v8-fori-dma", v8),
                      ("v9-nested-while-dma", v9),
-                     ("m3-norem-noovl", m3), ("m1-norem", m1),
-                     ("m2-noovl", m2), ("m4-1plane-min", m4),
+                     ("m1-band-sweep", m1), ("m4-band-1plane", m4),
                      ("v11-vec-anchor-dma", v11),
                      ("v12-alias-accum", v12),
                      ("v13-smem-anchor-dma", v13),
@@ -782,6 +819,8 @@ def main():
                      ("v17-prefetch-dma", v17),
                      ("v18-element-pipeline", v18),
                      ("v19-element-consumer", v19),
+                     ("v20-blocked-dyn-map", v20),
+                     ("v21-any-direct-load", v21),
                      ("v7-real-kernel", v7),
                      ("v1-dyn-lead", v1)):
         if names and name.split("-")[0] not in names:
