@@ -68,6 +68,10 @@ INTERPRET = False
 # (they truncate the selected depth mantissa). Read at trace time.
 ROWSEL_PRECISION = jax.lax.Precision.HIGHEST
 
+# Band-height cap for the HBM band-sweep modes (see _hbm_band_rows):
+# taller bands = fewer band sweeps (less re-projection) but more VMEM.
+HBM_BAND_CAP = 64
+
 # Cap on the double-buffered (vb, [3,] hp, wp) depth block: view_block is
 # clamped so 2x the block stays under this many bytes of the ~16 MiB
 # scoped-VMEM budget (the volume block, tables, and kernel temporaries
@@ -445,11 +449,13 @@ def _hbm_band_rows(wp: int, split3: bool, wr: int) -> int:
     scalar-prefetch refs v17) and on Element-dim pipelined windows
     (v18/v19) — band-sweep uses none of those.
 
-    ``bv`` defaults to the select-window height (``wr``) and shrinks by
-    halves until the double-buffered (3, bv, wp) band block fits the
-    depth VMEM budget — so arbitrarily wide maps (HD, 4K) always fit.
+    ``bv`` starts at ``HBM_BAND_CAP`` (>= the select-window height) and
+    shrinks by halves until the double-buffered (3, bv, wp) band block
+    fits the depth VMEM budget — so arbitrarily wide maps (HD, 4K)
+    always fit, and taller bands mean fewer sweeps (the per-band
+    projection re-run is the mode's main tax).
     """
-    bv = max(8, (min(wr, 64) // 8) * 8)
+    bv = max(8, (max(min(wr, 64), HBM_BAND_CAP) // 8) * 8)
     planes = 3 if split3 else 1
     while bv > 8 and 2 * planes * bv * wp * 4 > DEPTH_VMEM_BUDGET:
         bv //= 2
