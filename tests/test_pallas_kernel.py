@@ -440,6 +440,39 @@ def test_hbm_mode_degenerate_tunables_hit_remainder_dma_walk():
         np.testing.assert_array_equal(got, ref)
 
 
+def test_hbm_mode_inside_out_rig_matches():
+    """Cameras INSIDE the grid looking out (the RGB-D walkthrough case)
+    put the camera plane through the volume — projected pixels for
+    near-pole voxels land anywhere in the image, the case a
+    footprint-window design cannot bound. The band-sweep reaches the
+    whole map band by band, so results must still be bit-identical to
+    the whole-map VMEM mode."""
+    from cudadepthmapintegration_tpu.testing import (
+        look_at_camera,
+        render_sphere_view,
+    )
+
+    W, H = 144, 64
+    cams = [
+        look_at_camera((0.2, 0.0, 0.1), (2.0, 0.3, 0.0), focal=40.0,
+                       width=W, height=H),
+        look_at_camera((-0.1, 0.2, 0.0), (-2.0, 0.0, 0.4), focal=40.0,
+                       width=W, height=H),
+    ]
+    views = [render_sphere_view(c, W, H, radius=1.0, background=-1.0)
+             for c in cams]
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    ref = np.asarray(
+        KP.integrate_views_oriented(vol, grid, views, PARAMS, mode="rowsel")
+    )
+    for mode in ("rowselh", "rowsel3h"):
+        got = np.asarray(
+            KP.integrate_views_oriented(vol, grid, views, PARAMS, mode=mode)
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
 def test_auto_rowsel_passes_bit_identical_and_per_group():
     """rowsel_passes='auto' must (a) be bit-identical to fixed counts and
     (b) actually choose DIFFERENT counts per orientation group on a mixed
