@@ -368,6 +368,25 @@ def main():
             file=sys.stderr,
         )
 
+    # --- HD depth maps on the HBM band-sweep path (round-3 capability:
+    # 1920x1080 was a hard error before; now parity-gated vs XLA) -------
+    grid_hd, views_hd, params_hd = build_workload(
+        dims=257, n_views=8, width=1920, height=1080
+    )
+    t_hd, _, sum_hd = bench_pallas(
+        grid_hd, views_hd, params_hd, reps=3,
+        run_kw=dict(mode="rowsel3h", window_rows=64, rowsel_passes=6),
+    )
+    t_hd_xla, sum_hd_xla = bench_xla(grid_hd, views_hd, params_hd)
+    hd_rel = abs(sum_hd - sum_hd_xla) / max(abs(sum_hd_xla), 1.0)
+    hd_ok = hd_rel < 1e-3
+    if not hd_ok:
+        print(
+            f"HD BAND-SWEEP GATE FAILED: {sum_hd} vs xla {sum_hd_xla}",
+            file=sys.stderr,
+        )
+    hd_gups = grid_hd.num_cells * 8 / t_hd / 1e9
+
     # --- coloration kernel parity gate + throughput ----------------------
     color_ok = coloration_parity()
     if not color_ok:
@@ -393,6 +412,11 @@ def main():
                 },
                 "sharded_slab_gups": round(sharded_gups, 3),
                 "sharded_split_match": sharded_match,
+                "hbm_hd_1080p": {
+                    "gups": round(hd_gups, 3),
+                    "vs_xla": round(t_hd_xla / t_hd, 2),
+                    "parity_ok": hd_ok,
+                },
                 "sparse_backends_match": sparse_match,
                 "sparse_backend_rel": float(f"{sparse_rel:.3e}"),
                 "sparse_fusion_fps": round(sparse_fps, 1),
@@ -412,7 +436,7 @@ def main():
         )
     )
     return 0 if (parity_ok and color_ok and sparse_rel_ok
-                 and sharded_match) else 1
+                 and sharded_match and hd_ok) else 1
 
 
 if __name__ == "__main__":

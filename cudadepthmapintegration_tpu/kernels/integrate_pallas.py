@@ -70,7 +70,11 @@ ROWSEL_PRECISION = jax.lax.Precision.HIGHEST
 
 # Band-height cap for the HBM band-sweep modes (see _hbm_band_rows):
 # taller bands = fewer band sweeps (less re-projection) but more VMEM.
-HBM_BAND_CAP = 64
+# Measured (scripts/tpu_band_probe.py, 256^3 x 8): 256 is optimal at
+# every size — 640x480 1.30 G (97% of the whole-map mode), 1024x768
+# 0.74 G; at 1920 wide the VMEM budget clamps bv to 128 (0.32 G).
+# Checksums are bit-identical at any cap.
+HBM_BAND_CAP = 256
 
 # Cap on the double-buffered (vb, [3,] hp, wp) depth block: view_block is
 # clamped so 2x the block stays under this many bytes of the ~16 MiB
@@ -135,12 +139,22 @@ def _vmem_safe_mode(mode, h, w, window_rows):
             if mode == "rowsel3m":
                 # Diagnostics never switch residency silently.
                 _check_depth_vmem(h, w, hp, wp, split3=True)
+            # Very wide maps squeeze the 3-plane band height below the
+            # single-plane one; fewer, taller bands win (measured at
+            # 1920x1080: rowselh 0.37 G vs rowsel3h 0.32 G) — route to
+            # the single-plane band sweep there (bit-identical either
+            # way; rowsel's HIGHEST-precision selects are exact).
+            target = (
+                "rowselh"
+                if _hbm_band_rows(wp, True, 64) < _hbm_band_rows(wp, False, 64)
+                else "rowsel3h"
+            )
             log.warning(
                 "depth maps %dx%d exceed even the single-plane VMEM "
-                "ceiling; using HBM-resident mode='rowsel3h' "
-                "(bit-identical; see docs/KERNEL.md)", h, w,
+                "ceiling; using HBM-resident mode=%r "
+                "(bit-identical; see docs/KERNEL.md)", h, w, target,
             )
-            return "rowsel3h"
+            return target
         downgraded = "rowsel" if mode == "rowsel3" else "rowselm"
         log.warning(
             "depth maps %dx%d exceed the 3-plane VMEM ceiling; using "

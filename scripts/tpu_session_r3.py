@@ -115,18 +115,22 @@ def phase_hbm():
             print(f"  {w}x{h} {mode:9s}: FAILED [{type(e).__name__}] "
                   f"{str(e)[:160]}", flush=True)
 
-    banner("HBM parity vs XLA integrator (checksums)")
+    banner("HBM parity + speedup vs XLA integrator")
     for w, h in ((1024, 768), (1920, 1080)):
         entry = grids.get((w, h))
         if entry is None or entry[3] is None:
             print(f"  {w}x{h}: no pallas checksum (run failed)", flush=True)
             continue
         grid, views, _, s_pallas = entry
+        s_xla = xla_checksum(grid, views, PARAMS)  # warm/compile
+        t0 = time.perf_counter()
         s_xla = xla_checksum(grid, views, PARAMS)
+        xla_s = time.perf_counter() - t0
         rel = abs(s_pallas - s_xla) / max(abs(s_xla), 1.0)
         print(f"  {w}x{h}: pallas {s_pallas:.6g} vs xla {s_xla:.6g} "
-              f"(rel {rel:.2e}) {'OK' if rel < 1e-3 else 'MISMATCH'}",
-              flush=True)
+              f"(rel {rel:.2e}) {'OK' if rel < 1e-3 else 'MISMATCH'}; "
+              f"xla {grid.num_cells * 8 / xla_s / 1e9:.3f} G "
+              f"({xla_s:.2f} s) on the SAME workload", flush=True)
 
     banner("HBM pixel-level parity gate (2 cases, mode=rowsel3h)")
     import scripts.tpu_validate as tv

@@ -393,8 +393,12 @@ def test_vmem_safe_mode_downgrade():
     assert _vmem_safe_mode("rowsel3", 768, 1024, 64) == "rowsel"
     assert _vmem_safe_mode("rowsel3m", 768, 1024, 64) == "rowselm"
     assert _vmem_safe_mode("rowsel", 768, 1024, 64) == "rowsel"
-    # Beyond the single-plane ceiling: HBM-resident modes, no error.
-    assert _vmem_safe_mode("rowsel3", 1536, 2048, 64) == "rowsel3h"
+    # Beyond the single-plane ceiling: HBM-resident band-sweep modes, no
+    # error. Very wide maps route rowsel3 to the SINGLE-plane band sweep
+    # (taller bands beat 3-plane select precision-cost, measured at
+    # 1920x1080); narrower-but-tall maps keep the 3-plane sweep.
+    assert _vmem_safe_mode("rowsel3", 1536, 2048, 64) == "rowselh"
+    assert _vmem_safe_mode("rowsel3", 2000, 1000, 64) == "rowsel3h"
     assert _vmem_safe_mode("rowsel", 1536, 2048, 64) == "rowselh"
     assert _vmem_safe_mode("rowsel3h", 480, 640, 64) == "rowsel3h"
     assert _vmem_safe_mode("rowselh", 1536, 2048, 64) == "rowselh"
