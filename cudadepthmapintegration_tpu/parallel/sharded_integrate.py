@@ -315,17 +315,21 @@ class ShardedTSDFIntegrator:
         # np.pad a traced array inside shard_map). -1 padding preserves
         # semantics: a projection landing in the pad reads the invalid
         # sentinel and is rejected, exactly like the bounds test would.
-        if mode not in ("rowsel", "rowsel3", "windows"):
+        if mode not in ("rowsel", "rowsel3", "rowselh", "rowsel3h",
+                        "windows"):
             # rowselm/rowsel3m host-side miss re-dispatch doesn't compose
             # with a shard_map-embedded call (the miss check needs a host
             # sync per step). rowsel3 is fine: its 3-plane split runs on
             # device inside the traced chain (split_depth_planes is
             # jit-safe for jax arrays), bit-identical to the plain path.
+            # The HBM band-sweep modes compose too (no host sync; band
+            # padding happens inside the traced call) — and oversized maps
+            # reach them automatically via _vmem_safe_mode.
             raise ValueError(
-                f"sharded integrate supports mode 'rowsel', 'rowsel3' or "
-                f"'windows', got {mode!r}"
+                f"sharded integrate supports mode 'rowsel', 'rowsel3', "
+                f"'rowselh', 'rowsel3h' or 'windows', got {mode!r}"
             )
-        min_h = window_rows if mode in ("rowsel", "rowsel3") else 8
+        min_h = window_rows if mode.startswith("rowsel") else 8
         ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
         if ph or pw:
             depths_all = np.pad(

@@ -51,6 +51,21 @@ def test_sharded_pallas_rowsel3_identical():
     np.testing.assert_array_equal(a.result(), b.result())
 
 
+def test_sharded_pallas_hbm_band_sweep_identical():
+    """The HBM band-sweep modes compose with z-slab sharding (no host
+    sync in the chain) — bit-identical to the whole-map mode per shard,
+    so HD depth maps can fuse sharded without a VMEM ceiling."""
+    views = sphere_scene(n_views=4, width=144, height=64, focal=60.0)
+    grid = VoxelGrid(dims=(17, 17, 17), origin=(-1.6,) * 3, spacing=(0.2,) * 3)
+    mesh = make_mesh(n_z=4)
+    a = ShardedTSDFIntegrator(grid, PARAMS, mesh, dtype=np.float32)
+    a.reset().integrate_pallas(views)
+    for mode in ("rowselh", "rowsel3h"):
+        b = ShardedTSDFIntegrator(grid, PARAMS, mesh, dtype=np.float32)
+        b.reset().integrate_pallas(views, mode=mode)
+        np.testing.assert_array_equal(a.result(), b.result())
+
+
 def test_sharded_pallas_incremental():
     views = sphere_scene(n_views=4, width=144, height=64, focal=60.0)
     grid = VoxelGrid(dims=(17, 17, 17), origin=(-1.6,) * 3, spacing=(0.2,) * 3)
