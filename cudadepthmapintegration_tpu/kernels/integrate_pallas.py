@@ -124,8 +124,8 @@ def _vmem_safe_mode(mode, h, w, window_rows):
     rowsel_family = (
         "rowsel", "rowsel3", "rowselm", "rowsel3m", "rowselh", "rowsel3h"
     )
-    if mode in ("rowselh", "rowsel3h"):
-        return mode  # HBM-resident: no VMEM ceiling
+    if mode in ("rowselh", "rowsel3h", "rowseld", "rowsel3d"):
+        return mode  # HBM-resident band modes: no VMEM ceiling
     min_h = int(window_rows) if mode in rowsel_family else 8
     hp = h + max(min_h - h, (-h) % 8)
     wp = w + ((-w) % 128)
@@ -476,6 +476,61 @@ def _hbm_band_rows(wp: int, split3: bool, wr: int) -> int:
     return bv
 
 
+def _dyn_band_rows(wp: int, split3: bool) -> int:
+    """Band height for the DYNAMIC 2-band modes: two band blocks are
+    double-buffered by the pipeline, so the budget covers 4 copies."""
+    bv = 256
+    planes = 3 if split3 else 1
+    while bv > 8 and 4 * planes * bv * wp * 4 > DEPTH_VMEM_BUDGET:
+        bv //= 2
+    return bv
+
+
+def _dyn_band_anchors(tx, ty_vc, tz_kv, tc, *, cy_b, bv, hp):
+    """Per-(z, y-block, view) band index for the dynamic 2-band modes
+    (jit-traced; shapes static). v is fractional-linear over the block's
+    (y, x) rectangle and h2 affine, so when h2 > 0 at all 4 corners the
+    corner v-minimum bounds the interior; a 2 px fp-drift margin and the
+    floor-to-band give a conservative FIRST band — the block's rows are
+    then expected inside bands [b, b+2). Pole blocks (mixed-sign corner
+    h2) and poisoned padding fall back to band 0: the kernel's miss
+    counter catches any pair the two bands do not serve and the caller
+    re-dispatches the exact band-sweep mode (results stay exact in every
+    branch). Returns int32 (cz, n_jtb, V), values in [0, hp//bv - 2]."""
+    nv, _, _cx = tx.shape
+    cy = ty_vc.shape[1]
+    njt = cy // cy_b
+    big = jnp.float32(1e8)
+    ny_real = jnp.sum((ty_vc[0, :, 2] > -big).astype(jnp.int32))
+    nx_real = jnp.sum((tx[0, 2, :] > -big).astype(jnp.int32))
+    y_lo = jnp.arange(njt, dtype=jnp.int32) * cy_b
+    y_hi = jnp.minimum(y_lo + (cy_b - 1), jnp.maximum(ny_real - 1, 0))
+    ys = jnp.stack([y_lo, y_hi], -1)  # (njt, 2)
+    xs = jnp.stack(
+        [jnp.zeros((), jnp.int32), jnp.maximum(nx_real - 1, 0)]
+    )  # (2,)
+    tyc = jnp.take(ty_vc, ys.reshape(-1), axis=1).reshape(
+        nv, njt, 2, 4
+    ).transpose(0, 3, 1, 2)  # (V, 4, njt, 2)
+    txc = jnp.take(tx, xs, axis=2)  # (V, 4, 2)
+    zc = tz_kv + tc[None]  # (cz, V, 4)
+
+    def hom(r):
+        return (
+            zc[:, :, r][:, :, None, None, None]
+            + tyc[:, r][None, :, :, :, None]
+            + txc[:, r][None, :, None, None, :]
+        )  # (cz, V, njt, 2, 2)
+
+    h1, h2 = hom(1), hom(2)
+    pos = jnp.all(h2 > 0, axis=(3, 4))
+    v = h1 / jnp.where(h2 > 0, h2, 1.0)
+    vmin = jnp.min(v, axis=(3, 4))
+    band = jnp.floor(vmin - 2.0).astype(jnp.int32) // bv
+    band = jnp.where(pos, jnp.clip(band, 0, hp // bv - 2), 0)
+    return jnp.transpose(band, (0, 2, 1))  # (cz, njt, V)
+
+
 def _project_subtile(tx_ref, ty_ref, tz_ref, tc_ref, vv, view, kk, jt, it,
                      *, sj, h, w):
     """Project one (sj, 128) voxel subtile into view ``view``: separable
@@ -580,6 +635,81 @@ def _integrate_kernel_hbm(
                 sl = (0, pl.ds(jt * sj, sj), pl.ds(it * 128, 128))
                 out_ref[sl] += jnp.where(ok, val, 0.0)
 
+        return 0
+
+    jax.lax.fori_loop(0, cy // sj, jt_body, 0)
+
+
+def _integrate_kernel_dyn(
+    an_ref, tx_ref, ty_ref, tz_ref, tc_ref, da_ref, db_ref, vol_ref,
+    out_ref, miss_ref,
+    *, h, w, bv, wp, cy, cx, sj, wr, n_wc, n_k, thick, rho, eta, delta,
+    split3, anchors,
+):
+    """Dynamic 2-band kernel ('rowseld'/'rowsel3d'): like the band-sweep
+    (:func:`_integrate_kernel_hbm`) but instead of sweeping every band as
+    a grid axis, TWO consecutive bands are staged per (z, y-block, view)
+    step at a data-dependent band index — the scalar-prefetch-driven
+    Blocked index_map channel, the one DYNAMIC staging mechanism this
+    toolchain's Mosaic compiles (repro v20; every other channel 500s,
+    docs/KERNEL.md). Eliminates the band sweep's n_bands projection tax.
+
+    Exactness: the host anchor prepass (:func:`_dyn_band_anchors`) is
+    conservative for h2>0-at-corners blocks; pairs the two bands do NOT
+    serve (pole blocks, footprints taller than 2*bv) are counted into
+    ``miss_ref`` and the CALLER re-dispatches the exact band-sweep mode
+    — results are bit-identical in both branches (each voxel accumulates
+    each view exactly once; the two bands are disjoint).
+    """
+    kk = pl.program_id(0)
+    jb = pl.program_id(1)
+    view = pl.program_id(2)
+
+    @pl.when(view == 0)
+    def _():
+        out_ref[:] = vol_ref[:]
+
+    @pl.when((kk == 0) & (jb == 0) & (view == 0))
+    def _():
+        miss_ref[:] = jnp.zeros((sj, 128), jnp.int32)
+
+    # SMEM read -> VECTOR rebase arithmetic only (never a DMA offset;
+    # the pipeline already placed the blocks from the same values).
+    v_a = an_ref[kk, jb, view] * bv
+    bands = []
+    for ref, v0 in ((da_ref, v_a), (db_ref, v_a + bv)):
+        planes = (
+            tuple(ref.at[0, i] for i in range(3))
+            if split3
+            else (ref.at[0],)
+        )
+        bands.append((planes, v0))
+
+    def jt_body(jt, _):
+        for it in range(cx // 128):
+            ui, vi, valid, zcam = _project_subtile(
+                tx_ref, ty_ref, tz_ref, tc_ref, 0, view, 0, jt, it,
+                sj=sj, h=h, w=w,
+            )
+            acc = jnp.zeros((sj, 128), jnp.float32)
+            served = jnp.zeros(valid.shape, bool)
+            for planes, v0 in bands:
+                in_b = valid & (vi >= v0) & (vi < v0 + bv)
+                vi_b = jnp.where(in_b, vi - v0, 0)
+                d = _gather_pixels_multi(
+                    planes, ui, vi_b, in_b,
+                    hp=bv, wp=wp, wr=min(wr, bv), n_wc=n_wc, n_k=n_k,
+                    sum_planes=split3, anchors=anchors,
+                )[0]
+                ok = in_b & (d != -1.0)
+                val = _ray_potential_vals(
+                    zcam, d, thick=thick, rho=rho, eta=eta, delta=delta
+                )
+                acc = acc + jnp.where(ok, val, 0.0)
+                served |= in_b
+            miss_ref[:] += (valid & ~served).astype(jnp.int32)
+            sl = (0, pl.ds(jt * sj, sj), pl.ds(it * 128, 128))
+            out_ref[sl] += acc
         return 0
 
     jax.lax.fori_loop(0, cy // sj, jt_body, 0)
@@ -882,9 +1012,10 @@ def _pallas_integrate_impl(
     anchors="exact",
 ):
     cz, cy, cx = volume.shape
-    split3 = mode in ("rowsel3", "rowsel3m", "rowsel3h")
+    split3 = mode in ("rowsel3", "rowsel3m", "rowsel3h", "rowsel3d")
     track_miss = mode in ("rowselm", "rowsel3m")
     hbm = mode in ("rowselh", "rowsel3h")
+    dyn = mode in ("rowseld", "rowsel3d")
     if split3:
         nviews, _three, hp, wp = depths.shape
     else:
@@ -919,10 +1050,86 @@ def _pallas_integrate_impl(
     # block bytes so the (kz, cy_b, cx) block + the double-buffered depth
     # block stay inside scoped VMEM.
     kz = max(1, int(kz))
-    if mode == "windows" or hbm:
+    if mode == "windows" or hbm or dyn:
         kz = 1
     while kz > 1 and (cz % kz or kz * cy_b * cx * 4 > (4 << 20)):
         kz -= 1
+    if dyn:
+        # Dynamic 2-band staging (scalar-prefetch index maps, repro v20).
+        bv = _dyn_band_rows(wp, split3)
+        if hp % bv or hp < 2 * bv:
+            raise ValueError(
+                f"dyn modes need depth maps padded to >=2 bands "
+                f"(hp={hp}, bv={bv}); pallas_integrate/OrientedFusionPlan "
+                f"pad automatically — pad manually for direct calls"
+            )
+        cy_b = sj  # tightest per-block footprints for the 2-band window
+        n_jtb = cy // cy_b
+        kernel = functools.partial(
+            _integrate_kernel_dyn,
+            h=h, w=w, bv=bv, wp=wp, cy=cy_b, cx=cx, sj=sj,
+            wr=min(wr, bv), n_wc=n_wc, n_k=n_k,
+            thick=thick, rho=rho, eta=eta, delta=delta,
+            split3=split3, anchors=anchors,
+        )
+        an = _dyn_band_anchors(tx, ty, tz, tc, cy_b=cy_b, bv=bv, hp=hp)
+        if split3:
+            band_shape = (1, 3, bv, wp)
+            band_map = lambda off: (
+                lambda k, jb, v, an_: (v, 0, an_[k, jb, v] + off, 0)
+            )
+        else:
+            band_shape = (1, bv, wp)
+            band_map = lambda off: (
+                lambda k, jb, v, an_: (v, an_[k, jb, v] + off, 0)
+            )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cz, n_jtb, nviews),
+            in_specs=[
+                pl.BlockSpec((1, 4, cx), lambda k, jb, v, an_: (v, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cy_b, 4),
+                             lambda k, jb, v, an_: (v, jb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nviews, 4),
+                             lambda k, jb, v, an_: (k, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((nviews, 4), lambda k, jb, v, an_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(band_shape, band_map(0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(band_shape, band_map(1),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cy_b, cx),
+                             lambda k, jb, v, an_: (k, jb, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, cy_b, cx),
+                             lambda k, jb, v, an_: (k, jb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((sj, 128), lambda k, jb, v, an_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        )
+        out, miss = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((cz, cy, cx), jnp.float32),
+                jax.ShapeDtypeStruct((sj, 128), jnp.int32),
+            ),
+            grid_spec=grid_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=40 * cz * cy * cx * nviews,
+                bytes_accessed=4 * cz * cy * cx * 2
+                + (3 if split3 else 1) * 2 * bv * wp * 4
+                * cz * n_jtb * nviews,
+                transcendentals=0,
+            ),
+            interpret=INTERPRET,
+        )(an, tx, ty, tz, tc, depths, depths, volume)
+        return out, jnp.sum(miss, dtype=jnp.float32)
     if hbm:
         # Band-sweep: full-width (bv, wp) depth bands as a 4th GRID axis —
         # placement is program_id-pure (the only staging channel this
@@ -1144,10 +1351,12 @@ def pallas_integrate(
     the fp32 accumulation). Clamped to a divisor of cz and a ~4 MiB block.
     """
     h, w = int(depths.shape[1]), int(depths.shape[2])
+    depths_orig = depths  # for the dyn-mode band-sweep fallback re-pad
     if not INTERPRET:
         mode = _vmem_safe_mode(mode, h, w, window_rows)
     rowsel_family = (
-        "rowsel", "rowsel3", "rowselm", "rowsel3m", "rowselh", "rowsel3h"
+        "rowsel", "rowsel3", "rowselm", "rowsel3m", "rowselh", "rowsel3h",
+        "rowseld", "rowsel3d"
     )
     if mode in ("rowselh", "rowsel3h"):
         # Band-sweep staging: pad the map height to a band multiple.
@@ -1155,6 +1364,10 @@ def pallas_integrate(
             w + ((-w) % 128), mode == "rowsel3h", int(window_rows)
         )
         ph, pw = (-h) % bv, (-w) % 128
+    elif mode in ("rowseld", "rowsel3d"):
+        # Dynamic 2-band staging: >= 2 bands, height a band multiple.
+        bv = _dyn_band_rows(w + ((-w) % 128), mode == "rowsel3d")
+        ph, pw = max(2 * bv - h, (-h) % bv), (-w) % 128
     else:
         min_h = int(window_rows) if mode in rowsel_family else 8
         ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
@@ -1167,7 +1380,7 @@ def pallas_integrate(
             depths, ((0, 0), (0, ph), (0, pw)), constant_values=-1.0
         )
     hp, wp = h + ph, w + pw
-    if mode in ("rowsel3", "rowsel3m", "rowsel3h"):
+    if mode in ("rowsel3", "rowsel3m", "rowsel3h", "rowsel3d"):
         # split_depth_planes dispatches on array type: device inputs split
         # on device (no tunnel round trip).
         depths = split_depth_planes(depths)  # (V, 3, hp, wp)
@@ -1196,6 +1409,25 @@ def pallas_integrate(
             return out
         return _pallas_integrate_padded(
             vol_dev, *args, mode=mode[:-1], **kw
+        )
+    if mode in ("rowseld", "rowsel3d"):
+        # Dynamic 2-band fast path; any pair outside the two staged bands
+        # (pole block / footprint taller than 2*bv) re-dispatches the
+        # exact band-sweep mode — bit-identical either way. NOTE the
+        # band-sweep pads differently, so fall back through the public
+        # entry (it re-pads from the caller's original depths).
+        out, miss = _pallas_integrate_padded_keep(
+            vol_dev, *args, mode=mode, **kw
+        )
+        if int(miss) == 0:
+            return out
+        return pallas_integrate(
+            vol_dev, tables_tx, tables_ty, tables_tz, tables_tc,
+            depths_orig, thick, rho, eta, delta,
+            windows=windows, subtile_rows=subtile_rows,
+            mode="rowselh" if mode == "rowseld" else "rowsel3h",
+            window_rows=window_rows, rowsel_passes=rowsel_passes,
+            view_block=view_block, z_block=z_block, anchors=anchors,
         )
     return _pallas_integrate_padded(vol_dev, *args, mode=mode, **kw)
 
@@ -1571,6 +1803,9 @@ class OrientedFusionPlan:
                 w + ((-w) % 128), mode == "rowsel3h", int(window_rows)
             )
             ph, pw = (-h) % bv, (-w) % 128
+        elif mode in ("rowseld", "rowsel3d"):
+            bv = _dyn_band_rows(w + ((-w) % 128), mode == "rowsel3d")
+            ph, pw = max(2 * bv - h, (-h) % bv), (-w) % 128
         else:
             min_h = window_rows if mode in rowsel_family else 8
             ph, pw = max(min_h - h, (-h) % 8), (-w) % 128
@@ -1579,8 +1814,11 @@ class OrientedFusionPlan:
         n_wc = min(windows[1], wp // 128)
         sj = self.subtile_rows
         p = self.params
-        track_miss = mode in ("rowselm", "rowsel3m")
-        split3 = mode in ("rowsel3", "rowsel3m", "rowsel3h")
+        # Modes whose impl returns (volume, miss): the diagnostics AND the
+        # dynamic 2-band fast path (whose miss triggers the band-sweep
+        # fallback in run()).
+        track_miss = mode in ("rowselm", "rowsel3m", "rowseld", "rowsel3d")
+        split3 = mode in ("rowsel3", "rowsel3m", "rowsel3h", "rowsel3d")
         staged_key = (ph, pw, split3)
         staged = self._staged_cache.get(staged_key)
         if staged is None:
@@ -1732,6 +1970,18 @@ class OrientedFusionPlan:
                                      if m > 0)
                 return vol
             return get_runner(key)(vol)
+        if mode in ("rowseld", "rowsel3d"):
+            # Dynamic 2-band fast path: any pair outside the two staged
+            # bands re-dispatches the exact band-sweep mode (bit-identical
+            # either way; the tracked runner keeps the input alive).
+            out, miss = get_runner(key)(vol)
+            self.last_miss = int(miss)
+            if self.last_miss == 0:
+                return out
+            fb_key = (
+                key[0], "rowselh" if mode == "rowseld" else "rowsel3h"
+            ) + key[2:]
+            return get_runner(fb_key)(vol)
         if mode in ("rowselm", "rowsel3m"):
             if per_group_redispatch:
                 # Each group runs the no-remainder fast kernel; ONLY groups

@@ -27,12 +27,31 @@ from cudadepthmapintegration_tpu.testing import (
 PARAMS = RayPotential(thick=0.025, rho=0.8, eta=0.03, delta=0.1)
 
 
-def main():
-    import jax
+def _measure(plan, grid, label, ref, **kw):
+    try:
+        checksum = float(plan.run(
+            jnp.zeros(grid.volume_shape, jnp.float32), **kw).sum())
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            checksum = float(plan.run(
+                jnp.zeros(grid.volume_shape, jnp.float32), **kw).sum())
+            best = min(best, time.perf_counter() - t0)
+        ups = grid.num_cells * 8 / best
+        tag = "" if ref is None or checksum == ref else "  MISMATCH"
+        miss = getattr(plan, "last_miss", None)
+        extra = f" miss={miss:.0f}" if kw.get("mode", "").endswith("d") \
+            and miss is not None else ""
+        print(f"  {label}: {ups / 1e9:5.2f} G ({best * 1e3:6.1f} ms) "
+              f"checksum {checksum:.6g}{extra}{tag}", flush=True)
+        return checksum if ref is None else ref
+    except Exception as e:
+        print(f"  {label}: FAILED [{type(e).__name__}] {str(e)[:140]}",
+              flush=True)
+        return ref
 
-    print(f"devices: {jax.devices()}", flush=True)
-    grid = VoxelGrid(dims=(257,) * 3, origin=(-1.6,) * 3,
-                     spacing=(3.2 / 256,) * 3)
+
+def phase_cap(grid):
     for w, h in ((640, 480), (1024, 768), (1920, 1080)):
         cams = orbit_cameras(8, 4.0, focal=0.6 * w, width=w, image_height=h)
         views = [render_sphere_view(c, w, h, radius=1.0, background=-1.0)
@@ -40,29 +59,43 @@ def main():
         ref = None
         for cap in (64, 128, 256):
             KP.HBM_BAND_CAP = cap
-            try:
-                plan = OrientedFusionPlan(grid, views, PARAMS,
-                                          subtile_rows=64)
-                kw = dict(mode="rowsel3h", window_rows=64, rowsel_passes=6)
-                checksum = float(plan.run(
-                    jnp.zeros(grid.volume_shape, jnp.float32), **kw).sum())
-                best = 1e9
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    checksum = float(plan.run(
-                        jnp.zeros(grid.volume_shape, jnp.float32),
-                        **kw).sum())
-                    best = min(best, time.perf_counter() - t0)
-                ups = grid.num_cells * 8 / best
-                tag = "" if ref is None or checksum == ref else "  MISMATCH"
-                ref = checksum if ref is None else ref
-                print(f"  {w}x{h} cap{cap:3d}: {ups / 1e9:5.2f} G "
-                      f"({best * 1e3:6.1f} ms) checksum {checksum:.6g}{tag}",
-                      flush=True)
-            except Exception as e:
-                print(f"  {w}x{h} cap{cap:3d}: FAILED [{type(e).__name__}] "
-                      f"{str(e)[:140]}", flush=True)
-        KP.HBM_BAND_CAP = 64
+            plan = OrientedFusionPlan(grid, views, PARAMS, subtile_rows=64)
+            ref = _measure(
+                plan, grid, f"{w}x{h} cap{cap:3d}", ref,
+                mode="rowsel3h", window_rows=64, rowsel_passes=6,
+            )
+        KP.HBM_BAND_CAP = 256
+
+
+def phase_dyn(grid):
+    """Dynamic 2-band modes vs the band-sweep (the v20 channel's first
+    production use — compile time is the open question)."""
+    for w, h in ((640, 480), (1024, 768), (1920, 1080)):
+        cams = orbit_cameras(8, 4.0, focal=0.6 * w, width=w, image_height=h)
+        views = [render_sphere_view(c, w, h, radius=1.0, background=-1.0)
+                 for c in cams]
+        plan = OrientedFusionPlan(grid, views, PARAMS, subtile_rows=64)
+        ref = None
+        for mode in ("rowsel3h", "rowsel3d", "rowseld"):
+            t0 = time.time()
+            ref = _measure(
+                plan, grid, f"{w}x{h} {mode:9s}", ref,
+                mode=mode, window_rows=64, rowsel_passes=6,
+            )
+            print(f"    [{mode} total incl compile: {time.time() - t0:.0f}s]",
+                  flush=True)
+
+
+def main():
+    import jax
+
+    print(f"devices: {jax.devices()}", flush=True)
+    grid = VoxelGrid(dims=(257,) * 3, origin=(-1.6,) * 3,
+                     spacing=(3.2 / 256,) * 3)
+    phases = {"cap": phase_cap, "dyn": phase_dyn}
+    want = [a for a in sys.argv[1:] if a in phases] or ["cap"]
+    for name in want:
+        phases[name](grid)
     return 0
 
 

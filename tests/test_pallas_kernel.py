@@ -477,6 +477,64 @@ def test_hbm_mode_inside_out_rig_matches():
         np.testing.assert_array_equal(got, ref)
 
 
+def test_dyn_band_mode_matches_whole_map():
+    """Dynamic 2-band modes ('rowseld'/'rowsel3d'): orbit rigs are
+    boundable (h2>0 at block corners), so the fast path serves every
+    pair (miss == 0) and the result is bit-identical to the whole-map
+    mode."""
+    from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
+        OrientedFusionPlan,
+    )
+
+    views = sphere_scene(n_views=3, width=144, height=64, focal=60.0)
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    plan = OrientedFusionPlan(grid, views, PARAMS)
+    ref = np.asarray(plan.run(vol, mode="rowsel"))
+    for mode in ("rowseld", "rowsel3d"):
+        got = np.asarray(plan.run(vol, mode=mode))
+        np.testing.assert_array_equal(got, ref)
+        assert plan.last_miss == 0, f"{mode} unexpectedly missed"
+
+
+def test_dyn_band_mode_pole_falls_back_exactly():
+    """Cameras inside the grid defeat the corner bound (pole blocks) —
+    the dyn fast path counts misses and run() re-dispatches the exact
+    band-sweep mode; the result must still be bit-identical."""
+    from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
+        OrientedFusionPlan,
+    )
+    from cudadepthmapintegration_tpu.testing import (
+        look_at_camera,
+        render_sphere_view,
+    )
+
+    W, H = 144, 64
+    cams = [
+        look_at_camera((0.2, 0.0, 0.1), (2.0, 0.3, 0.0), focal=40.0,
+                       width=W, height=H),
+        look_at_camera((-0.1, 0.2, 0.0), (-2.0, 0.0, 0.4), focal=40.0,
+                       width=W, height=H),
+    ]
+    views = [render_sphere_view(c, W, H, radius=1.0, background=-1.0)
+             for c in cams]
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    plan = OrientedFusionPlan(grid, views, PARAMS)
+    ref = np.asarray(plan.run(vol, mode="rowsel"))
+    # Default 256-row bands swallow a 64-row test map whole (2 bands
+    # cover everything -> no miss); shrink the budget so bands are 8
+    # rows and the pole footprints genuinely escape the 2-band window.
+    old = KP.DEPTH_VMEM_BUDGET
+    KP.DEPTH_VMEM_BUDGET = 4 * 8 * 256 * 4
+    try:
+        got = np.asarray(plan.run(vol, mode="rowseld"))
+    finally:
+        KP.DEPTH_VMEM_BUDGET = old
+    np.testing.assert_array_equal(got, ref)
+    assert plan.last_miss > 0, "pole rig should exercise the fallback"
+
+
 def test_auto_rowsel_passes_bit_identical_and_per_group():
     """rowsel_passes='auto' must (a) be bit-identical to fixed counts and
     (b) actually choose DIFFERENT counts per orientation group on a mixed
