@@ -68,6 +68,9 @@ INTERPRET = False
 # (they truncate the selected depth mantissa). Read at trace time.
 ROWSEL_PRECISION = jax.lax.Precision.HIGHEST
 
+# Volume y-block height for the dynamic 2-band modes (probe knob).
+DYN_CY_B = 64
+
 # Band-height cap for the HBM band-sweep modes (see _hbm_band_rows):
 # taller bands = fewer band sweeps (less re-projection) but more VMEM.
 # Measured (scripts/tpu_band_probe.py, 256^3 x 8): 256 is optimal at
@@ -691,25 +694,31 @@ def _integrate_kernel_dyn(
                 tx_ref, ty_ref, tz_ref, tc_ref, 0, view, 0, jt, it,
                 sj=sj, h=h, w=w,
             )
-            acc = jnp.zeros((sj, 128), jnp.float32)
             served = jnp.zeros(valid.shape, bool)
+            sl = (0, pl.ds(jt * sj, sj), pl.ds(it * 128, 128))
             for planes, v0 in bands:
                 in_b = valid & (vi >= v0) & (vi < v0 + bv)
-                vi_b = jnp.where(in_b, vi - v0, 0)
-                d = _gather_pixels_multi(
-                    planes, ui, vi_b, in_b,
-                    hp=bv, wp=wp, wr=min(wr, bv), n_wc=n_wc, n_k=n_k,
-                    sum_planes=split3, anchors=anchors,
-                )[0]
-                ok = in_b & (d != -1.0)
-                val = _ray_potential_vals(
-                    zcam, d, thick=thick, rho=rho, eta=eta, delta=delta
-                )
-                acc = acc + jnp.where(ok, val, 0.0)
                 served |= in_b
+
+                # Units typically land in ONE of the two bands — skip
+                # the other's gather+selects+RMW entirely (the same
+                # vector-reduced pl.when the band-sweep uses).
+                @pl.when(jnp.any(in_b))
+                def _(planes=planes, v0=v0, in_b=in_b, ui=ui, vi=vi,
+                      zcam=zcam, sl=sl):
+                    vi_b = jnp.where(in_b, vi - v0, 0)
+                    d = _gather_pixels_multi(
+                        planes, ui, vi_b, in_b,
+                        hp=bv, wp=wp, wr=min(wr, bv), n_wc=n_wc, n_k=n_k,
+                        sum_planes=split3, anchors=anchors,
+                    )[0]
+                    ok = in_b & (d != -1.0)
+                    val = _ray_potential_vals(
+                        zcam, d, thick=thick, rho=rho, eta=eta, delta=delta
+                    )
+                    out_ref[sl] += jnp.where(ok, val, 0.0)
+
             miss_ref[:] += (valid & ~served).astype(jnp.int32)
-            sl = (0, pl.ds(jt * sj, sj), pl.ds(it * 128, 128))
-            out_ref[sl] += acc
         return 0
 
     jax.lax.fori_loop(0, cy // sj, jt_body, 0)
@@ -1063,7 +1072,12 @@ def _pallas_integrate_impl(
                 f"(hp={hp}, bv={bv}); pallas_integrate/OrientedFusionPlan "
                 f"pad automatically — pad manually for direct calls"
             )
-        cy_b = sj  # tightest per-block footprints for the 2-band window
+        # y-block height trades DMA amortization (the band pair is
+        # re-fetched per block) against footprint tightness (bigger
+        # blocks project taller than the 2-band window -> fallback).
+        cy_b = max(sj, (min(cy_b, DYN_CY_B) // sj) * sj)
+        while cy % cy_b:
+            cy_b -= sj
         n_jtb = cy // cy_b
         kernel = functools.partial(
             _integrate_kernel_dyn,
@@ -1339,6 +1353,17 @@ def pallas_integrate(
     miss wastes the fast pass. Use them to measure static-pass coverage of
     a geometry, or for workloads KNOWN to cover statically (miss == 0);
     don't ship them as the default.
+
+    mode='rowselh'/'rowsel3h' — HBM band-sweep: depth maps stay in HBM
+    and are staged as full-width bands on a grid axis, so there is NO
+    depth-map size ceiling (HD/4K run; 6-8x the XLA fallback measured,
+    docs/KERNEL.md). Oversized maps auto-route here via _vmem_safe_mode;
+    bit-identical to the whole-map modes.
+
+    mode='rowseld'/'rowsel3d' — EXPERIMENTAL dynamic 2-band staging
+    (scalar-prefetch index maps): measured SLOWER than the band-sweep on
+    the probe rigs (docs/KERNEL.md); exact via an automatic band-sweep
+    re-dispatch when any pair escapes the two staged bands.
 
     mode='windows': the round-1 windowed gather kernel with a static
     `windows` grid. All modes are exact for ANY geometry, so the tunables

@@ -74,16 +74,21 @@ def phase_dyn(grid):
         cams = orbit_cameras(8, 4.0, focal=0.6 * w, width=w, image_height=h)
         views = [render_sphere_view(c, w, h, radius=1.0, background=-1.0)
                  for c in cams]
-        plan = OrientedFusionPlan(grid, views, PARAMS, subtile_rows=64)
         ref = None
-        for mode in ("rowsel3h", "rowsel3d", "rowseld"):
+        for mode, cyb in (("rowsel3h", 64), ("rowsel3d", 64),
+                          ("rowseld", 64), ("rowsel3d", 256),
+                          ("rowseld", 256)):
+            KP.DYN_CY_B = cyb
+            # Fresh plan per row: the runner cache does not key DYN_CY_B.
+            plan = OrientedFusionPlan(grid, views, PARAMS, subtile_rows=64)
             t0 = time.time()
             ref = _measure(
-                plan, grid, f"{w}x{h} {mode:9s}", ref,
+                plan, grid, f"{w}x{h} {mode:9s} cyb{cyb:3d}", ref,
                 mode=mode, window_rows=64, rowsel_passes=6,
             )
-            print(f"    [{mode} total incl compile: {time.time() - t0:.0f}s]",
+            print(f"    [total incl compile: {time.time() - t0:.0f}s]",
                   flush=True)
+        KP.DYN_CY_B = 64
 
 
 def main():
