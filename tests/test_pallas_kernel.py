@@ -408,6 +408,37 @@ def test_vmem_safe_mode_downgrade():
         _vmem_safe_mode("rowselm", 1536, 2048, 64)
 
 
+def test_pallas_integrate_dyn_fallback_functional_entry():
+    """The functional entry (pallas_integrate) owns its own dyn-mode
+    fallback recursion (re-pads the ORIGINAL depths for the band-sweep);
+    force misses with a tiny budget and pin bit-identity to rowsel."""
+    from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
+        pallas_integrate,
+    )
+    from cudadepthmapintegration_tpu.ops.integrate import projection_tables
+
+    views = sphere_scene(n_views=3, width=144, height=64, focal=60.0)
+    grid = small_grid()
+    t = projection_tables(grid, views, np.float32)
+    depths = np.stack([v.depth for v in views]).astype(np.float32)
+    tx = KP._pad_table_invalid(t.tx, 128)  # cx padded to the lane width
+    vol = np.zeros((16, 16, 128), np.float32)  # pre-padded (cy 16, cx 128)
+    kw = dict(thick=PARAMS.thick, rho=PARAMS.rho, eta=PARAMS.eta,
+              delta=PARAMS.delta, window_rows=16, rowsel_passes=2)
+    ref = np.asarray(pallas_integrate(
+        vol, tx, t.ty, t.tz, t.tc, depths, mode="rowsel", **kw,
+    ))
+    old = KP.DEPTH_VMEM_BUDGET
+    KP.DEPTH_VMEM_BUDGET = 4 * 8 * 256 * 4  # bv=8: tiny 2-band window
+    try:
+        got = np.asarray(pallas_integrate(
+            vol, tx, t.ty, t.tz, t.tc, depths, mode="rowseld", **kw,
+        ))
+    finally:
+        KP.DEPTH_VMEM_BUDGET = old
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_hbm_modes_match_vmem_modes_exactly():
     """'rowselh'/'rowsel3h' (HBM-resident depth planes, per-footprint DMA)
     must be bit-identical to the whole-map VMEM modes — residency affects
