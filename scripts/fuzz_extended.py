@@ -60,6 +60,14 @@ def check(seed) -> list[str]:
         "rowsel_kz2": dict(mode="rowsel", z_block=2),
         "rowsel3_kz4": dict(mode="rowsel3", z_block=4),
         "rowsel_vb2": dict(mode="rowsel", view_block=2),
+        # HBM band-sweep + dynamic 2-band modes: per-voxel view order is
+        # unchanged, so both must be BIT-identical to rowsel (the dyn
+        # modes via their miss-triggered band-sweep fallback when random
+        # rigs defeat the corner bound).
+        "rowselh": dict(mode="rowselh"),
+        "rowsel3h": dict(mode="rowsel3h"),
+        "rowseld": dict(mode="rowseld"),
+        "rowsel3d": dict(mode="rowsel3d"),
     }
     ref32 = None
     for name, kw in pallas_variants.items():
@@ -70,7 +78,8 @@ def check(seed) -> list[str]:
             bad.append(f"pallas_{name}_vs_oracle")
         if name == "rowsel":
             ref32 = got
-        elif name in ("rowsel3", "rowselm", "rowsel_kz2") and not (
+        elif name in ("rowsel3", "rowselm", "rowsel_kz2", "rowselh",
+                      "rowsel3h", "rowseld", "rowsel3d") and not (
             np.array_equal(got, ref32)
         ):
             # these must be BIT-identical to rowsel (same accumulation
