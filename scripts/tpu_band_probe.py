@@ -91,13 +91,46 @@ def phase_dyn(grid):
         KP.DYN_CY_B = 64
 
 
+def phase_hd1024(_grid):
+    """North-star grid with HD imagery: 1024^3 cells x 16 views of
+    1920x1080 through the band-sweep (both plane layouts)."""
+    grid = VoxelGrid(dims=(1025,) * 3, origin=(-1.6,) * 3,
+                     spacing=(3.2 / 1024,) * 3)
+    w, h = 1920, 1080
+    cams = orbit_cameras(16, 4.0, focal=0.6 * w, width=w, image_height=h)
+    views = [render_sphere_view(c, w, h, radius=1.0, background=-1.0)
+             for c in cams]
+    plan = OrientedFusionPlan(grid, views, PARAMS, subtile_rows=64)
+    ref = None
+    for mode in ("rowselh", "rowsel3h"):
+        try:
+            kw = dict(mode=mode, window_rows=64, rowsel_passes=6)
+            checksum = float(plan.run(
+                jnp.zeros(grid.volume_shape, jnp.float32), **kw).sum())
+            best = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                checksum = float(plan.run(
+                    jnp.zeros(grid.volume_shape, jnp.float32), **kw).sum())
+                best = min(best, time.perf_counter() - t0)
+            ups = grid.num_cells * 16 / best
+            tag = "" if ref is None or checksum == ref else "  MISMATCH"
+            ref = checksum if ref is None else ref
+            print(f"  1024^3x16 @1920x1080 {mode:9s}: {ups / 1e9:5.2f} G "
+                  f"({best:6.1f} s) checksum {checksum:.6g}{tag}",
+                  flush=True)
+        except Exception as e:
+            print(f"  1024^3x16 {mode}: FAILED [{type(e).__name__}] "
+                  f"{str(e)[:160]}", flush=True)
+
+
 def main():
     import jax
 
     print(f"devices: {jax.devices()}", flush=True)
     grid = VoxelGrid(dims=(257,) * 3, origin=(-1.6,) * 3,
                      spacing=(3.2 / 256,) * 3)
-    phases = {"cap": phase_cap, "dyn": phase_dyn}
+    phases = {"cap": phase_cap, "dyn": phase_dyn, "hd1024": phase_hd1024}
     want = [a for a in sys.argv[1:] if a in phases] or ["cap"]
     for name in want:
         phases[name](grid)
