@@ -9,7 +9,8 @@ Per round this measures, on the attached chip:
   docs/KERNEL.md "A note on this dev rig");
 * the XLA-lowered integrator on the same chip at the primary config — the
   ``vs_baseline`` denominator (the reference publishes no numbers:
-  BASELINE.md);
+  BASELINE.md; the timing record itself is the analog of the reference's
+  own execution-time hook, vtkCudaReconstructionFilter.cxx:147-148);
 * the 6-case hardware PARITY GATE (scripts/tpu_validate.py) against the
   fp64 oracle — a Mosaic lowering regression fails the bench loudly
   (non-zero exit) instead of shipping a fast wrong kernel;
@@ -17,16 +18,41 @@ Per round this measures, on the attached chip:
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Failure hardening (round 4 — round 3's record was lost to a tunnel wedge
+that hung the process before the single end-of-run print):
+
+* phases run HEADLINE-FIRST (512^3 pallas -> XLA baseline -> parity gate),
+  so a late failure cannot erase the headline number;
+* a WATCHDOG thread hard-exits with the partial JSON if the main thread
+  makes no progress for BENCH_STALL_S (default 420 s — above the worst
+  observed remote Mosaic compile); a wedged tunnel never returns
+  (CLAUDE.md "TUNNEL DEATH"), so only os._exit saves the record;
+* a global DEADLINE (BENCH_DEADLINE_S, default 900 s) truncates remaining
+  phases and emits what completed, listed under "truncated";
+* each phase logs start/duration to stderr so a driver timeout still
+  leaves forensics.
+
+Env knobs: BENCH_DEADLINE_S, BENCH_STALL_S, BENCH_FORCE_CPU=1 (CPU
+platform, for self-tests), BENCH_SIMULATE_WEDGE=1 (first device op hangs
+forever; exercises the watchdog path end-to-end).
 """
 
 import json
 import os
 import sys
+import threading
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
 
 import jax
+
+if os.environ.get("BENCH_FORCE_CPU") == "1":
+    # Config update, not the env var: sitecustomize imports jax before us,
+    # so JAX_PLATFORMS=cpu in the environment is too late (CLAUDE.md).
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,6 +77,69 @@ KERNEL_RUN_KW = dict(mode="rowsel3", window_rows=64, rowsel_passes=6)
 # z_block>1 measured NO win at any size (depth DMA already hidden).
 RUN_KW_BY_SIZE = {"256": dict(KERNEL_RUN_KW, rowsel_passes=10)}
 
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "900"))
+STALL_S = float(os.environ.get("BENCH_STALL_S", "420"))
+
+# ---------------------------------------------------------------------------
+# Always-emittable result record + watchdog.
+# ---------------------------------------------------------------------------
+
+_T0 = time.monotonic()
+_LOCK = threading.Lock()
+_EMITTED = False
+_LAST_BEAT = time.monotonic()
+_CURRENT_PHASE = "startup"
+
+RESULT = {
+    "metric": "tsdf_voxel_updates_per_sec_512cube_32views",
+    "value": 0,
+    "unit": "voxel_updates/s",
+    "vs_baseline": 0,
+}
+
+
+def beat():
+    """Mark forward progress (call between device ops in long phases)."""
+    global _LAST_BEAT
+    _LAST_BEAT = time.monotonic()
+
+
+def _log(msg):
+    print(f"[bench +{time.monotonic() - _T0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def emit(rc):
+    """Print the ONE JSON line exactly once (main thread or watchdog)."""
+    global _EMITTED
+    with _LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        print(json.dumps(RESULT), flush=True)
+    return rc
+
+
+def _watchdog():
+    while True:
+        time.sleep(5)
+        stale = time.monotonic() - _LAST_BEAT
+        if stale > STALL_S:
+            RESULT["error"] = (
+                f"device wedge: no progress for {stale:.0f}s during phase "
+                f"'{_CURRENT_PHASE}' (tunnel relay wedged? see CLAUDE.md)"
+            )
+            _log(f"WATCHDOG: {RESULT['error']} — emitting partial record")
+            emit(2)
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os._exit(2)
+
+
+# ---------------------------------------------------------------------------
+# Workloads / phase bodies (unchanged measurement methodology).
+# ---------------------------------------------------------------------------
+
 
 def build_workload(dims=513, n_views=32, width=512, height=512):
     grid = VoxelGrid(
@@ -72,6 +161,7 @@ def bench_pallas(grid, views, params, reps=5, run_kw=None):
     plan = OrientedFusionPlan(grid, views, params, **KERNEL_PLAN_KW)
     out = plan.run(jnp.zeros(grid.volume_shape, jnp.float32), **run_kw)
     checksum = float(out.sum())  # warms compiles + forces completion
+    beat()
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -81,6 +171,7 @@ def bench_pallas(grid, views, params, reps=5, run_kw=None):
             ).sum()
         )
         times.append(time.perf_counter() - t0)
+        beat()
     return min(times), float(np.median(times)), checksum
 
 
@@ -96,10 +187,12 @@ def bench_xla(grid, views, params, reps=1):
     vol = jnp.zeros(grid.volume_shape, jnp.float32)
     vol = I._integrate_batched(vol, *args, **kw)
     checksum = float(vol.sum())
+    beat()
     t0 = time.perf_counter()
     for _ in range(reps):
         vol2 = jnp.zeros(grid.volume_shape, jnp.float32)
         checksum = float(I._integrate_batched(vol2, *args, **kw).sum())
+        beat()
     dt = (time.perf_counter() - t0) / reps
     return dt, checksum
 
@@ -127,6 +220,7 @@ def bench_sharded_slab(views, params, reps=3):
         intg.reset()
         intg.run_staged_pallas(staged)
         float(jnp.sum(intg.volume))  # warm + force
+        beat()
         if m == "rowsel3":
             times = []
             for _ in range(reps):
@@ -135,45 +229,45 @@ def bench_sharded_slab(views, params, reps=3):
                 intg.run_staged_pallas(staged)
                 float(jnp.sum(intg.volume))
                 times.append(time.perf_counter() - t0)
+                beat()
             rate = slab.num_cells * len(views) / min(times)
         vols[m] = intg.volume
     match = bool(jnp.array_equal(vols["rowsel"], vols["rowsel3"]))
     return rate / 1e9, match
 
 
-def bench_sparse_fps(n_frames=48, width=256, height=192,
-                     gather_backend="auto"):
-    """Steady-state incremental sparse fusion rate: the first full orbit
-    allocates every block and warms every jit bucket size (compiles through
-    the remote service would otherwise land in the timed window); the
-    SECOND orbit is timed — allocation-stable streaming, the config-5
-    operating regime. Per-frame depth upload rides this rig's ~6 MB/s
-    tunnel and is counted (it would be ~free on a real TPU VM; the loop is
-    host-dispatch-bound here, so the backends measure within ~6%)."""
+def sparse_run(n_frames, gather_backend, timed):
+    """One sparse-fusion run; returns (fps-or-None, canonical content).
+
+    Canonical content: block values ordered by block COORDINATE, not by
+    pool slot — the pallas path Morton-orders allocation, so slot order
+    (and hence pool.sum()'s fp32 reduction order) differs across backends
+    while per-voxel content is identical."""
     from cudadepthmapintegration_tpu.ops.sparse_grid import SparseTSDFGrid
 
     params = RayPotential(thick=0.04, rho=0.8, eta=0.03, delta=0.16)
-    cams = orbit_cameras(n_frames, 4.0, focal=150.0,
-                         width=width, image_height=height)
-    views = [render_sphere_view(c, width, height) for c in cams]
+    cams = orbit_cameras(n_frames, 4.0, focal=150.0, width=256,
+                         image_height=192)
+    views = [render_sphere_view(c, 256, 192) for c in cams]
     sparse = SparseTSDFGrid(voxel_size=0.02, params=params, pixel_stride=4,
                             gather_backend=gather_backend)
     for v in views:  # warm pass: allocate + compile all bucket sizes
         sparse.integrate_frame(v)
+        beat()
     float(sparse.pool.sum())
-    t0 = time.perf_counter()
-    for v in views:
-        sparse.integrate_frame(v)
-    float(sparse.pool.sum())  # force completion
-    dt = time.perf_counter() - t0
-    # Canonical content: block values ordered by block COORDINATE, not by
-    # pool slot — the pallas path Morton-orders allocation, so slot order
-    # (and hence pool.sum()'s fp32 reduction order) differs across
-    # backends while per-voxel content is identical.
+    beat()
+    fps = None
+    if timed:
+        t0 = time.perf_counter()
+        for v in views:
+            sparse.integrate_frame(v)
+            beat()
+        float(sparse.pool.sum())  # force completion
+        fps = n_frames / (time.perf_counter() - t0)
     coords = sorted(sparse.block_map)
     slots = np.array([sparse.block_map[c] for c in coords], np.int32)
     content = np.asarray(sparse.pool[jnp.asarray(slots)])
-    return n_frames / dt, content
+    return fps, content
 
 
 def bench_coloration(n_target=1 << 18, nv=64, w=512, h=512, reps=3):
@@ -223,11 +317,13 @@ def bench_coloration(n_target=1 << 18, nv=64, w=512, h=512, reps=3):
 
     def best_of(fn):
         fn()  # warm compile
+        beat()
         best = 1e9
         for _ in range(reps):
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
+            beat()
         return best
 
     dt_p = best_of(run_pallas)
@@ -265,7 +361,9 @@ def coloration_parity():
 
 def _tunnel_alive(port=8082, timeout=5.0) -> bool:
     """The axon relay listens on 8082+; if it is dead every device touch
-    hangs forever (CLAUDE.md 'TUNNEL DEATH'). Probe before benching."""
+    hangs forever (CLAUDE.md 'TUNNEL DEATH'). Probe before benching.
+    NOTE: this only detects a DEAD relay — a WEDGED relay keeps the
+    listener up; the watchdog thread covers that case."""
     import socket
 
     try:
@@ -275,168 +373,181 @@ def _tunnel_alive(port=8082, timeout=5.0) -> bool:
         return False
 
 
+# ---------------------------------------------------------------------------
+# Phase sequence (headline first; later phases are droppable).
+# ---------------------------------------------------------------------------
+
+
 def main():
-    if not _tunnel_alive():
-        print(
-            json.dumps(
-                {
-                    "metric": "tsdf_voxel_updates_per_sec_512cube_32views",
-                    "value": 0,
-                    "unit": "voxel_updates/s",
-                    "vs_baseline": 0,
-                    "error": "TPU tunnel relay down (no listener on 8082); "
-                    "see CLAUDE.md 'TUNNEL DEATH'",
-                }
-            )
-        )
-        return 2
+    global _CURRENT_PHASE
+
+    if os.environ.get("BENCH_FORCE_CPU") != "1" and not _tunnel_alive():
+        RESULT["error"] = ("TPU tunnel relay down (no listener on 8082); "
+                           "see CLAUDE.md 'TUNNEL DEATH'")
+        return emit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
     import tpu_validate
 
-    # --- throughput at three scales ------------------------------------
+    state = {}
+    gates = {}
     sizes = {}
-    # 256^3 and 512^3 x 32 views of 512^2; 1024^3 x 16 views.
-    for label, dims, n_views, reps in (
-        ("256", 257, 32, 5),
-        ("512", 513, 32, 5),
-        ("1024", 1025, 16, 3),
-    ):
-        grid, views, params = build_workload(dims=dims, n_views=n_views)
-        tmin, tmed, _ = bench_pallas(
-            grid, views, params, reps=reps,
-            run_kw=RUN_KW_BY_SIZE.get(label),
-        )
-        upd = grid.num_cells * n_views
-        sizes[label] = {
-            "gups_min": round(upd / tmin / 1e9, 3),
-            "gups_median": round(upd / tmed / 1e9, 3),
-        }
-        if label == "512":
-            grid512, views512, params512 = grid, views, params
-            t512 = tmin
+    RESULT["configs_gups"] = sizes
+    RESULT["kernel"] = {
+        **KERNEL_PLAN_KW,
+        **KERNEL_RUN_KW,
+        "per_size": {k: v["rowsel_passes"] for k, v in RUN_KW_BY_SIZE.items()},
+    }
 
-    # --- XLA baseline at the primary config ----------------------------
-    t_xla, sum_x = bench_xla(grid512, views512, params512)
-    plan_sum = bench_pallas(grid512, views512, params512, reps=1)[2]
-    rel = abs(plan_sum - sum_x) / max(abs(sum_x), 1.0)
-    if rel > 1e-3:
-        print(
-            f"WARNING: pallas/xla checksums diverge: {plan_sum} vs {sum_x}",
-            file=sys.stderr,
-        )
-
-    # --- hardware parity gate ------------------------------------------
-    parity_ok, parity_flips = tpu_validate.run_parity(
-        verbose=False, **KERNEL_PLAN_KW, **KERNEL_RUN_KW
-    )
-    if not parity_ok:
-        print("PARITY GATE FAILED — details:", file=sys.stderr)
-        tpu_validate.run_parity(verbose=True, **KERNEL_PLAN_KW, **KERNEL_RUN_KW)
-
-    # --- per-shard sharded rate + in-chain split gate -------------------
-    sharded_gups, sharded_match = bench_sharded_slab(views512, params512)
-    if not sharded_match:
-        print("SHARDED SPLIT GATE FAILED (rowsel3 != rowsel in shard_map)",
-              file=sys.stderr)
-
-    # --- sparse incremental fps (both gather backends) -----------------
-    sparse_fps_pallas, content_sp = bench_sparse_fps(gather_backend="pallas")
-    sparse_fps_xla, content_sx = bench_sparse_fps(gather_backend="xla")
-    sparse_fps = max(sparse_fps_pallas, sparse_fps_xla)
-    # Cross-backend gate on canonical CONTENT (same block-coordinate
-    # order for both backends): bitwise match expected — the sparse paths
-    # cut their fusions with optimization_barrier so both programs compile
-    # the same projection/accumulate subgraphs. rel <= 1e-5 is the hard
-    # gate (a toolchain that re-contracts across the barrier would
-    # reintroduce benign ulp-level pixel flips — fail only on real
-    # divergence).
-    sparse_match = (
-        content_sp.shape == content_sx.shape
-        and bool(np.array_equal(content_sp, content_sx))
-    )
-    denom = max(float(np.abs(content_sx).max()), 1e-30)
-    sparse_rel = (
-        float(np.abs(content_sp - content_sx).max()) / denom
-        if content_sp.shape == content_sx.shape
-        else float("inf")
-    )
-    sparse_rel_ok = sparse_rel <= 1e-5
-    if not sparse_match:
-        print(
-            f"WARNING: sparse gather backends diverge "
-            f"(max rel {sparse_rel:.2e} over {content_sx.size} voxels)",
-            file=sys.stderr,
-        )
-
-    # --- HD depth maps on the HBM band-sweep path (round-3 capability:
-    # 1920x1080 was a hard error before; now parity-gated vs XLA) -------
-    grid_hd, views_hd, params_hd = build_workload(
-        dims=257, n_views=8, width=1920, height=1080
-    )
-    t_hd, _, sum_hd = bench_pallas(
-        grid_hd, views_hd, params_hd, reps=3,
-        run_kw=dict(mode="rowsel3h", window_rows=64, rowsel_passes=6),
-    )
-    t_hd_xla, sum_hd_xla = bench_xla(grid_hd, views_hd, params_hd)
-    hd_rel = abs(sum_hd - sum_hd_xla) / max(abs(sum_hd_xla), 1.0)
-    hd_ok = hd_rel < 1e-3
-    if not hd_ok:
-        print(
-            f"HD BAND-SWEEP GATE FAILED: {sum_hd} vs xla {sum_hd_xla}",
-            file=sys.stderr,
-        )
-    hd_gups = grid_hd.num_cells * 8 / t_hd / 1e9
-
-    # --- coloration kernel parity gate + throughput ----------------------
-    color_ok = coloration_parity()
-    if not color_ok:
-        print("COLORATION PARITY GATE FAILED", file=sys.stderr)
-    color_gsps_p, color_gsps_x = bench_coloration()
-
-    n_updates = grid512.num_cells * len(views512)
-    value = n_updates / t512
-    print(
-        json.dumps(
-            {
-                "metric": "tsdf_voxel_updates_per_sec_512cube_32views",
-                "value": round(value / 1e9, 4) * 1e9,
-                "unit": "voxel_updates/s",
-                "vs_baseline": round(t_xla / t512, 3),
-                "configs_gups": sizes,
-                "parity_flips": parity_flips,
-                "parity_ok": parity_ok,
-                "coloration_parity_ok": color_ok,
-                "coloration_gsps": {
-                    "pallas": round(color_gsps_p, 3),
-                    "xla": round(color_gsps_x, 3),
-                },
-                "sharded_slab_gups": round(sharded_gups, 3),
-                "sharded_split_match": sharded_match,
-                "hbm_hd_1080p": {
-                    "gups": round(hd_gups, 3),
-                    "vs_xla": round(t_hd_xla / t_hd, 2),
-                    "parity_ok": hd_ok,
-                },
-                "sparse_backends_match": sparse_match,
-                "sparse_backend_rel": float(f"{sparse_rel:.3e}"),
-                "sparse_fusion_fps": round(sparse_fps, 1),
-                "sparse_fps_by_backend": {
-                    "pallas": round(sparse_fps_pallas, 1),
-                    "xla": round(sparse_fps_xla, 1),
-                },
-                "kernel": {
-                    **KERNEL_PLAN_KW,
-                    **KERNEL_RUN_KW,
-                    "per_size": {
-                        k: v["rowsel_passes"]
-                        for k, v in RUN_KW_BY_SIZE.items()
-                    },
-                },
+    def phase_size(label, dims, n_views, reps):
+        def run():
+            if os.environ.get("BENCH_SIMULATE_WEDGE") == "1":
+                _log("simulating tunnel wedge (BENCH_SIMULATE_WEDGE=1)")
+                time.sleep(10 ** 9)  # a wedged device op never returns
+            grid, views, params = build_workload(dims=dims, n_views=n_views)
+            beat()
+            tmin, tmed, _ = bench_pallas(
+                grid, views, params, reps=reps,
+                run_kw=RUN_KW_BY_SIZE.get(label),
+            )
+            upd = grid.num_cells * n_views
+            sizes[label] = {
+                "gups_min": round(upd / tmin / 1e9, 3),
+                "gups_median": round(upd / tmed / 1e9, 3),
             }
+            if label == "512":
+                state["w512"] = (grid, views, params)
+                state["t512"] = tmin
+                RESULT["value"] = round(upd / tmin / 1e9, 4) * 1e9
+        return run
+
+    def phase_xla_baseline():
+        grid, views, params = state["w512"]
+        t_xla, sum_x = bench_xla(grid, views, params)
+        plan_sum = bench_pallas(grid, views, params, reps=1)[2]
+        rel = abs(plan_sum - sum_x) / max(abs(sum_x), 1.0)
+        if rel > 1e-3:
+            _log(f"WARNING: pallas/xla checksums diverge: {plan_sum} vs {sum_x}")
+        RESULT["vs_baseline"] = round(t_xla / state["t512"], 3)
+
+    def phase_parity():
+        ok, flips = tpu_validate.run_parity(
+            verbose=False, **KERNEL_PLAN_KW, **KERNEL_RUN_KW
         )
-    )
-    return 0 if (parity_ok and color_ok and sparse_rel_ok
-                 and sharded_match and hd_ok) else 1
+        if not ok:
+            _log("PARITY GATE FAILED — details:")
+            tpu_validate.run_parity(verbose=True, **KERNEL_PLAN_KW,
+                                    **KERNEL_RUN_KW)
+        RESULT["parity_flips"] = flips
+        RESULT["parity_ok"] = ok
+        gates["parity"] = ok
+
+    def phase_sharded():
+        views, params = state["w512"][1], state["w512"][2]
+        gups, match = bench_sharded_slab(views, params)
+        RESULT["sharded_slab_gups"] = round(gups, 3)
+        RESULT["sharded_split_match"] = match
+        gates["sharded_split"] = match
+        if not match:
+            _log("SHARDED SPLIT GATE FAILED (rowsel3 != rowsel in shard_map)")
+
+    def phase_hd():
+        # HD depth maps on the HBM band-sweep path (round-3 capability:
+        # 1920x1080 was a hard error before; now parity-gated vs XLA).
+        grid, views, params = build_workload(
+            dims=257, n_views=8, width=1920, height=1080
+        )
+        beat()
+        t_hd, _, sum_hd = bench_pallas(
+            grid, views, params, reps=3,
+            run_kw=dict(mode="rowsel3h", window_rows=64, rowsel_passes=6),
+        )
+        t_hd_xla, sum_hd_xla = bench_xla(grid, views, params)
+        hd_rel = abs(sum_hd - sum_hd_xla) / max(abs(sum_hd_xla), 1.0)
+        hd_ok = hd_rel < 1e-3
+        if not hd_ok:
+            _log(f"HD BAND-SWEEP GATE FAILED: {sum_hd} vs xla {sum_hd_xla}")
+        RESULT["hbm_hd_1080p"] = {
+            "gups": round(grid.num_cells * 8 / t_hd / 1e9, 3),
+            "vs_xla": round(t_hd_xla / t_hd, 2),
+            "parity_ok": hd_ok,
+        }
+        gates["hd"] = hd_ok
+
+    def phase_coloration():
+        ok = coloration_parity()
+        RESULT["coloration_parity_ok"] = ok
+        gates["coloration_parity"] = ok
+        if not ok:
+            _log("COLORATION PARITY GATE FAILED")
+        gsps_p, gsps_x = bench_coloration()
+        RESULT["coloration_gsps"] = {"pallas": round(gsps_p, 3),
+                                     "xla": round(gsps_x, 3)}
+
+    def phase_sparse():
+        # Wall-time diet (round 4): time only the default (pallas) backend
+        # over the full 48-frame orbit; cross-check CONTENT against the xla
+        # backend on a 16-frame orbit — the backends' per-voxel content is
+        # bit-identical per frame, so fewer frames lose no gate power.
+        # The per-backend fps split was dropped: this rig's loop is
+        # host-dispatch-bound (~6 MB/s tunnel), so backend deltas were
+        # noise — hence the _rig_bound key suffix.
+        fps, _ = sparse_run(48, "pallas", timed=True)
+        _, c_p = sparse_run(16, "pallas", timed=False)
+        _, c_x = sparse_run(16, "xla", timed=False)
+        match = c_p.shape == c_x.shape and bool(np.array_equal(c_p, c_x))
+        denom = max(float(np.abs(c_x).max()), 1e-30)
+        rel = (float(np.abs(c_p - c_x).max()) / denom
+               if c_p.shape == c_x.shape else float("inf"))
+        # rel <= 1e-5 is the hard gate (a toolchain that re-contracts across
+        # the optimization_barrier cuts would reintroduce benign ulp-level
+        # flips — fail only on real divergence).
+        gates["sparse_rel"] = rel <= 1e-5
+        if not match:
+            _log(f"WARNING: sparse gather backends diverge "
+                 f"(max rel {rel:.2e} over {c_x.size} voxels)")
+        RESULT["sparse_backends_match"] = match
+        RESULT["sparse_backend_rel"] = float(f"{rel:.3e}")
+        RESULT["sparse_fusion_fps_rig_bound"] = round(fps, 1)
+
+    phases = [
+        ("pallas_512", phase_size("512", 513, 32, 5)),
+        ("xla_baseline_512", phase_xla_baseline),
+        ("parity_gate", phase_parity),
+        ("pallas_256", phase_size("256", 257, 32, 5)),
+        ("pallas_1024", phase_size("1024", 1025, 16, 3)),
+        ("sharded_slab", phase_sharded),
+        ("hd_1080p", phase_hd),
+        ("coloration", phase_coloration),
+        ("sparse", phase_sparse),
+    ]
+
+    truncated = []
+    for name, fn in phases:
+        elapsed = time.monotonic() - _T0
+        if elapsed > DEADLINE_S:
+            truncated.append(name)
+            continue
+        _CURRENT_PHASE = name
+        beat()
+        _log(f"phase {name} start (deadline in {DEADLINE_S - elapsed:.0f}s)")
+        t0 = time.monotonic()
+        try:
+            fn()
+        except Exception as e:  # record, keep going — later phases may land
+            _log(f"phase {name} FAILED: {type(e).__name__}: {e}")
+            RESULT.setdefault("phase_errors", {})[name] = (
+                f"{type(e).__name__}: {e}")
+            gates[name] = False
+        _log(f"phase {name} done in {time.monotonic() - t0:.1f}s")
+    if truncated:
+        RESULT["truncated"] = truncated
+        _log(f"deadline {DEADLINE_S:.0f}s hit — truncated: {truncated}")
+
+    ok = all(gates.values()) and RESULT["value"] > 0
+    return emit(0 if ok else 1)
 
 
 if __name__ == "__main__":

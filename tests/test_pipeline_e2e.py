@@ -132,6 +132,21 @@ def test_cli_validation_errors(tmp_path):
         )
         == 1
     )
+    # extension must be an exact suffix, not a substring ("g.vts.bak" was
+    # accepted by the substring check; tightened round 4)
+    assert (
+        reconstruct.main(
+            [
+                "--gridOrigin", "0", "0", "0",
+                "--dataFolder", str(tmp_path),
+                "--outputMeshFilename", str(tmp_path / "m.vtp"),
+                "--outputGridFilename", str(tmp_path / "g.vts.bak"),
+                "--gridDims", "10", "--gridEnd", "1", "1", "1",
+                "--rayThick", "0.1", "--rayDelta", "0.3",
+            ]
+        )
+        == 1
+    )
     # non-orthogonal grid vectors
     assert (
         reconstruct.main(
