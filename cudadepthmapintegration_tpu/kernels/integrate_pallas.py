@@ -71,6 +71,13 @@ ROWSEL_PRECISION = jax.lax.Precision.HIGHEST
 # Volume y-block height for the dynamic 2-band modes (probe knob).
 DYN_CY_B = 64
 
+# Volume y-block height cap for the WINDOWED band-sweep modes
+# ('rowselw'/'rowsel3w'): shorter y-blocks project tighter row spans, so
+# the static per-unit band window (n_bwin = max units' span) shrinks —
+# at the cost of re-fetching each band block once per extra y-block.
+# Probe knob (scripts/tpu_band_probe.py sweeps it).
+HBW_CY_B = 128
+
 # Band-height cap for the HBM band-sweep modes (see _hbm_band_rows):
 # taller bands = fewer band sweeps (less re-projection) but more VMEM.
 # Measured (scripts/tpu_band_probe.py, 256^3 x 8): 256 is optimal at
@@ -127,7 +134,8 @@ def _vmem_safe_mode(mode, h, w, window_rows):
     rowsel_family = (
         "rowsel", "rowsel3", "rowselm", "rowsel3m", "rowselh", "rowsel3h"
     )
-    if mode in ("rowselh", "rowsel3h", "rowseld", "rowsel3d"):
+    if mode in ("rowselh", "rowsel3h", "rowseld", "rowsel3d",
+                "rowselw", "rowsel3w"):
         return mode  # HBM-resident band modes: no VMEM ceiling
     min_h = int(window_rows) if mode in rowsel_family else 8
     hp = h + max(min_h - h, (-h) % 8)
@@ -454,6 +462,30 @@ def _gather_pixels_multi(
     return ds_
 
 
+def _volume_y_block(cy: int, cx: int, sj: int) -> int:
+    """y-rows per volume block: split the (cy, cx) slab along y when a full
+    block (x2 in/out, x2 double-buffered) would overflow VMEM; cap one
+    block at ~2 MiB. Must stay a divisor of cy and a multiple of sj.
+    Factored out so host-side window planning (_window_band_bounds_host)
+    reproduces exactly the blocking the jitted impl will use."""
+    cy_b = cy
+    while cy_b > sj and cy_b * cx * 4 > (2 << 20):
+        cy_b //= 2
+    cy_b = max(sj, (cy_b // sj) * sj)
+    while cy % cy_b:
+        cy_b -= sj  # cy is a multiple of sj; find a divisor multiple of sj
+    return cy_b
+
+
+def _hbw_y_block(cy: int, cx: int, sj: int) -> int:
+    """y-block height for the windowed band-sweep modes: the standard
+    block clamped to HBW_CY_B (tighter blocks -> tighter band windows)."""
+    cy_b = max(sj, (min(_volume_y_block(cy, cx, sj), HBW_CY_B) // sj) * sj)
+    while cy % cy_b:
+        cy_b -= sj
+    return cy_b
+
+
 def _hbm_band_rows(wp: int, split3: bool, wr: int) -> int:
     """Band height for the HBM-resident depth modes (full-width bands).
 
@@ -532,6 +564,75 @@ def _dyn_band_anchors(tx, ty_vc, tz_kv, tc, *, cy_b, bv, hp):
     band = jnp.floor(vmin - 2.0).astype(jnp.int32) // bv
     band = jnp.where(pos, jnp.clip(band, 0, hp // bv - 2), 0)
     return jnp.transpose(band, (0, 2, 1))  # (cz, njt, V)
+
+
+def _window_band_bounds_host(tx, ty_vc, tz_kv, tc, *, cy_b, bv, hp, h):
+    """Host-side per-(z-slice, y-block, view) band WINDOWS for the
+    windowed band-sweep modes ('rowselw'/'rowsel3w').
+
+    Same corner-bound machinery as :func:`_dyn_band_anchors` (v is
+    fractional-linear over a block's (y, x) rectangle, so with h2 > 0 at
+    all 4 corners BOTH extrema sit at corners — v is monotone along every
+    axis-aligned line when the denominator keeps one sign), run in fp64
+    on the host at plan/staging time, and extended to the MAX as well:
+    the window [lo_band, hi_band] covers every valid pair of the unit
+    with a 2 px fp-drift margin. Blocks where the bound does not apply
+    (mixed-sign corner h2 — cameras inside the grid) get the FULL map as
+    their window. ``n_bwin`` (the static per-unit trip count of the band
+    grid axis) is the max window length over all units, so inside-out
+    rigs degrade to the plain band sweep rather than losing exactness;
+    the kernel additionally counts out-of-window pairs so the caller can
+    re-dispatch the exact sweep if any bound is ever violated.
+
+    Inputs are in KERNEL layout: tx (V, 4, cx), ty_vc (V, cy, 4),
+    tz_kv (cz, V, 4), tc (V, 4). Returns (anchors int32 (cz, n_jtb, V),
+    n_bwin int). Reference anchor: the whole-map residency assumption at
+    ``Reconstruction/CudaReconstruction.cu:302-331`` — here the map lives
+    in HBM and only the rows a unit can touch are ever staged.
+    """
+    tx = np.asarray(tx, np.float64)
+    ty = np.asarray(ty_vc, np.float64)
+    tz = np.asarray(tz_kv, np.float64)
+    tc = np.asarray(tc, np.float64)
+    nv, cy, _ = ty.shape
+    njt = cy // cy_b
+    big = 1e8
+    ny_real = int((ty[0, :, 2] > -big).sum())
+    nx_real = int((tx[0, 2, :] > -big).sum())
+    n_bands = hp // bv
+    hi_cap = (h - 1) // bv  # valid pairs have v < h
+    y_lo = np.arange(njt, dtype=np.int64) * cy_b
+    y_hi = np.minimum(y_lo + (cy_b - 1), max(ny_real - 1, 0))
+    ys = np.stack([y_lo, y_hi], -1)  # (njt, 2)
+    xs = np.array([0, max(nx_real - 1, 0)])
+    tyc = ty[:, ys.reshape(-1), :].reshape(nv, njt, 2, 4).transpose(
+        0, 3, 1, 2
+    )  # (V, 4, njt, 2)
+    txc = tx[:, :, xs]  # (V, 4, 2)
+    zc = tz + tc[None]  # (cz, V, 4)
+
+    def hom(r):
+        return (
+            zc[:, :, r][:, :, None, None, None]
+            + tyc[:, r][None, :, :, :, None]
+            + txc[:, r][None, :, None, None, :]
+        )  # (cz, V, njt, 2, 2)
+
+    h1, h2 = hom(1), hom(2)
+    pos = np.all(h2 > 0, axis=(3, 4))
+    v = h1 / np.where(h2 > 0, h2, 1.0)
+    vmin = v.min(axis=(3, 4))
+    vmax = v.max(axis=(3, 4))
+    lo = np.clip(np.floor(vmin - 2.0).astype(np.int64) // bv, 0, hi_cap)
+    hi = np.clip(np.floor(vmax + 2.0).astype(np.int64) // bv, 0, hi_cap)
+    lo = np.where(pos, lo, 0)
+    hi = np.where(pos, hi, hi_cap)
+    n_bwin = int((hi - lo + 1).max()) if lo.size else 1
+    # The window must fit the padded map: an + n_bwin <= n_bands. Shifting
+    # an anchor left only widens coverage ([an, an + n_bwin) still holds
+    # [lo, hi] because an + n_bwin - 1 >= n_bands - 1 >= hi).
+    an = np.minimum(lo, n_bands - n_bwin)
+    return np.transpose(an.astype(np.int32), (0, 2, 1)), n_bwin
 
 
 def _project_subtile(tx_ref, ty_ref, tz_ref, tc_ref, vv, view, kk, jt, it,
@@ -621,6 +722,88 @@ def _integrate_kernel_hbm(
                 tx_ref, ty_ref, tz_ref, tc_ref, 0, view, 0, jt, it,
                 sj=sj, h=h, w=w,
             )
+            in_band = valid & (vi >= v_base) & (vi < v_base + bv)
+
+            @pl.when(jnp.any(in_band))
+            def _(it=it, ui=ui, vi=vi, in_band=in_band, zcam=zcam):
+                vi_b = jnp.where(in_band, vi - v_base, 0)
+                d = _gather_pixels_multi(
+                    planes, ui, vi_b, in_band,
+                    hp=bv, wp=wp, wr=min(wr, bv), n_wc=n_wc, n_k=n_k,
+                    sum_planes=split3, anchors=anchors,
+                )[0]
+                ok = in_band & (d != -1.0)
+                val = _ray_potential_vals(
+                    zcam, d, thick=thick, rho=rho, eta=eta, delta=delta
+                )
+                sl = (0, pl.ds(jt * sj, sj), pl.ds(it * 128, 128))
+                out_ref[sl] += jnp.where(ok, val, 0.0)
+
+        return 0
+
+    jax.lax.fori_loop(0, cy // sj, jt_body, 0)
+
+
+def _integrate_kernel_hbw(
+    an_ref, tx_ref, ty_ref, tz_ref, tc_ref, depth_ref, vol_ref,
+    out_ref, miss_ref,
+    *, h, w, bv, wp, cy, cx, sj, wr, n_wc, n_k, n_bwin, thick, rho, eta,
+    delta, split3, anchors,
+):
+    """WINDOWED band-sweep kernel ('rowselw'/'rowsel3w'): the band-sweep
+    (:func:`_integrate_kernel_hbm`) with the band grid axis shortened to a
+    per-(z-slice, y-block, view) WINDOW of ``n_bwin`` bands, anchored by a
+    host-computed conservative row-span (:func:`_window_band_bounds_host`)
+    and placed through the scalar-prefetch-driven Blocked index_map — the
+    one DYNAMIC staging channel this toolchain's Mosaic compiles (repro
+    v20, docs/KERNEL.md). Out-of-window bands are neither staged nor
+    stepped, removing the plain sweep's per-band projection re-run for
+    bands a unit can never touch (the HD tax: n_bands ~ 9 at 1080p).
+
+    Exactness: bands within the window are disjoint and each valid pair
+    lands in exactly one, so coverage equals the plain sweep's whenever
+    the window bound holds; pairs OUTSIDE the window (a violated bound —
+    never observed; the host margin is conservative) are counted into
+    ``miss_ref`` at the first band step and the CALLER re-dispatches the
+    exact band-sweep mode — bit-identical results in every branch.
+    """
+    kk = pl.program_id(0)
+    jb = pl.program_id(1)
+    view = pl.program_id(2)
+    b = pl.program_id(3)
+
+    @pl.when((view == 0) & (b == 0))
+    def _():
+        out_ref[:] = vol_ref[:]
+
+    @pl.when((kk == 0) & (jb == 0) & (view == 0) & (b == 0))
+    def _():
+        miss_ref[:] = jnp.zeros((sj, 128), jnp.int32)
+
+    # SMEM read -> rebase/window arithmetic only (never a DMA offset; the
+    # pipeline already placed the band block from the same value).
+    a0 = an_ref[kk, jb, view]
+    v_base = (a0 + b) * bv
+    win_lo = a0 * bv
+    win_hi = (a0 + n_bwin) * bv
+    planes = (
+        tuple(depth_ref.at[0, i] for i in range(3))
+        if split3
+        else (depth_ref.at[0],)
+    )
+
+    def jt_body(jt, _):
+        for it in range(cx // 128):
+            ui, vi, valid, zcam = _project_subtile(
+                tx_ref, ty_ref, tz_ref, tc_ref, 0, view, 0, jt, it,
+                sj=sj, h=h, w=w,
+            )
+
+            @pl.when(b == 0)
+            def _(vi=vi, valid=valid):
+                oow = valid & ((vi < win_lo) | (vi >= win_hi))
+                miss_ref[:] += oow.astype(jnp.int32)
+
             in_band = valid & (vi >= v_base) & (vi < v_base + bv)
 
             @pl.when(jnp.any(in_band))
@@ -1018,13 +1201,15 @@ def split_depth_planes(depths):
 def _pallas_integrate_impl(
     volume, tx, ty, tz, tc, depths, *, h, w, sj, n_wr, n_wc,
     thick, rho, eta, delta, mode="windows", wr=32, n_k=2, vb=1, kz=1,
-    anchors="exact",
+    anchors="exact", band_anchors=None, n_bwin=0,
 ):
     cz, cy, cx = volume.shape
-    split3 = mode in ("rowsel3", "rowsel3m", "rowsel3h", "rowsel3d")
+    split3 = mode in ("rowsel3", "rowsel3m", "rowsel3h", "rowsel3d",
+                      "rowsel3w")
     track_miss = mode in ("rowselm", "rowsel3m")
     hbm = mode in ("rowselh", "rowsel3h")
     dyn = mode in ("rowseld", "rowsel3d")
+    hbw = mode in ("rowselw", "rowsel3w")
     if split3:
         nviews, _three, hp, wp = depths.shape
     else:
@@ -1045,21 +1230,14 @@ def _pallas_integrate_impl(
         vb -= 1
     while nviews % vb:
         vb -= 1  # plan pads views to a multiple of 8; fall back gracefully
-    # Split the volume block along y when a full (cy, cx) slab (x2 in/out,
-    # x2 double-buffered) would overflow VMEM; cap one block at ~2 MiB.
-    cy_b = cy
-    while cy_b > sj and cy_b * cx * 4 > (2 << 20):
-        cy_b //= 2
-    cy_b = max(sj, (cy_b // sj) * sj)
-    while cy % cy_b:
-        cy_b -= sj  # cy is a multiple of sj; find a divisor multiple of sj
+    cy_b = _volume_y_block(cy, cx, sj)
     n_jtb = cy // cy_b
     # kz z-slices per volume block (amortizes the depth-block DMA; results
     # bit-identical at any kz). Clamp to a divisor of cz and to ~4 MiB of
     # block bytes so the (kz, cy_b, cx) block + the double-buffered depth
     # block stay inside scoped VMEM.
     kz = max(1, int(kz))
-    if mode == "windows" or hbm or dyn:
+    if mode == "windows" or hbm or dyn or hbw:
         kz = 1
     while kz > 1 and (cz % kz or kz * cy_b * cx * 4 > (4 << 20)):
         kz -= 1
@@ -1143,6 +1321,90 @@ def _pallas_integrate_impl(
             ),
             interpret=INTERPRET,
         )(an, tx, ty, tz, tc, depths, depths, volume)
+        return out, jnp.sum(miss, dtype=jnp.float32)
+    if hbw:
+        # Windowed band-sweep: per-unit band windows via scalar-prefetch
+        # index maps (see _integrate_kernel_hbw). band_anchors/n_bwin are
+        # HOST-computed (the window length is a static grid extent), so
+        # this branch is only reachable through pallas_integrate /
+        # OrientedFusionPlan, which own the planning.
+        bv = _hbm_band_rows(wp, split3, min(wr, hp))
+        if hp % bv:
+            raise ValueError(
+                f"windowed band modes need depth maps padded to band "
+                f"multiples (hp={hp}, bv={bv}); pallas_integrate/"
+                f"OrientedFusionPlan pad automatically"
+            )
+        if band_anchors is None or n_bwin < 1:
+            raise ValueError(
+                "mode='rowselw'/'rowsel3w' needs host-computed band "
+                "windows; call via pallas_integrate or OrientedFusionPlan"
+            )
+        cy_b = _hbw_y_block(cy, cx, sj)
+        n_jtb = cy // cy_b
+        kernel = functools.partial(
+            _integrate_kernel_hbw,
+            h=h, w=w, bv=bv, wp=wp, cy=cy_b, cx=cx, sj=sj,
+            wr=min(wr, bv), n_wc=n_wc, n_k=n_k, n_bwin=int(n_bwin),
+            thick=thick, rho=rho, eta=eta, delta=delta,
+            split3=split3, anchors=anchors,
+        )
+        if split3:
+            band_shape = (1, 3, bv, wp)
+            band_map = lambda k, jb, v, b, an_: (v, 0, an_[k, jb, v] + b, 0)
+        else:
+            band_shape = (1, bv, wp)
+            band_map = lambda k, jb, v, b, an_: (v, an_[k, jb, v] + b, 0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cz, n_jtb, nviews, int(n_bwin)),
+            in_specs=[
+                pl.BlockSpec((1, 4, cx),
+                             lambda k, jb, v, b, an_: (v, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cy_b, 4),
+                             lambda k, jb, v, b, an_: (v, jb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nviews, 4),
+                             lambda k, jb, v, b, an_: (k, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((nviews, 4),
+                             lambda k, jb, v, b, an_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(band_shape, band_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cy_b, cx),
+                             lambda k, jb, v, b, an_: (k, jb, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, cy_b, cx),
+                             lambda k, jb, v, b, an_: (k, jb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((sj, 128),
+                             lambda k, jb, v, b, an_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        )
+        out, miss = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((cz, cy, cx), jnp.float32),
+                jax.ShapeDtypeStruct((sj, 128), jnp.int32),
+            ),
+            grid_spec=grid_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=40 * cz * cy * cx * nviews,
+                # Band staging reads n_bwin of n_bands bands per
+                # (z-slice, y-block, view) — the windowed fraction of the
+                # plain sweep's depth traffic.
+                bytes_accessed=4 * cz * cy * cx * 2
+                + (3 if split3 else 1) * bv * wp * 4
+                * int(n_bwin) * cz * n_jtb * nviews,
+                transcendentals=0,
+            ),
+            interpret=INTERPRET,
+        )(band_anchors, tx, ty, tz, tc, depths, volume)
         return out, jnp.sum(miss, dtype=jnp.float32)
     if hbm:
         # Band-sweep: full-width (bv, wp) depth bands as a 4th GRID axis —
@@ -1283,7 +1545,8 @@ def _pallas_integrate_impl(
 _pallas_integrate_padded = functools.partial(
     jax.jit,
     static_argnames=("h", "w", "sj", "n_wr", "n_wc", "thick", "rho", "eta",
-                     "delta", "mode", "wr", "n_k", "vb", "kz", "anchors"),
+                     "delta", "mode", "wr", "n_k", "vb", "kz", "anchors",
+                     "n_bwin"),
     donate_argnames=("volume",),
 )(_pallas_integrate_impl)
 
@@ -1292,7 +1555,8 @@ _pallas_integrate_padded = functools.partial(
 _pallas_integrate_padded_keep = functools.partial(
     jax.jit,
     static_argnames=("h", "w", "sj", "n_wr", "n_wc", "thick", "rho", "eta",
-                     "delta", "mode", "wr", "n_k", "vb", "kz", "anchors"),
+                     "delta", "mode", "wr", "n_k", "vb", "kz", "anchors",
+                     "n_bwin"),
 )(_pallas_integrate_impl)
 
 
@@ -1365,6 +1629,15 @@ def pallas_integrate(
     the probe rigs (docs/KERNEL.md); exact via an automatic band-sweep
     re-dispatch when any pair escapes the two staged bands.
 
+    mode='rowselw'/'rowsel3w' — WINDOWED band-sweep: the band sweep with
+    its band axis shortened per (z-slice, y-block, view) to a host-planned
+    conservative row-span window (scalar-prefetch index maps), so bands a
+    unit cannot touch are neither staged nor stepped — targets HD maps,
+    where the plain sweep re-runs projection per band. Exact via the same
+    automatic plain-sweep re-dispatch on any out-of-window pair; falls
+    back to 'rowselh'/'rowsel3h' under tracing (window planning is a host
+    computation).
+
     mode='windows': the round-1 windowed gather kernel with a static
     `windows` grid. All modes are exact for ANY geometry, so the tunables
     affect speed, never values.
@@ -1381,12 +1654,21 @@ def pallas_integrate(
         mode = _vmem_safe_mode(mode, h, w, window_rows)
     rowsel_family = (
         "rowsel", "rowsel3", "rowselm", "rowsel3m", "rowselh", "rowsel3h",
-        "rowseld", "rowsel3d"
+        "rowseld", "rowsel3d", "rowselw", "rowsel3w"
     )
-    if mode in ("rowselh", "rowsel3h"):
+    if mode in ("rowselw", "rowsel3w") and any(
+        isinstance(a, jax.core.Tracer)
+        for a in (volume, tables_tx, tables_ty, tables_tz, tables_tc)
+    ):
+        # Window planning is a host computation (the window length is a
+        # static grid extent); under tracing fall back to the plain
+        # band-sweep — bit-identical, just without the window skip.
+        mode = "rowselh" if mode == "rowselw" else "rowsel3h"
+    if mode in ("rowselh", "rowsel3h", "rowselw", "rowsel3w"):
         # Band-sweep staging: pad the map height to a band multiple.
         bv = _hbm_band_rows(
-            w + ((-w) % 128), mode == "rowsel3h", int(window_rows)
+            w + ((-w) % 128), mode in ("rowsel3h", "rowsel3w"),
+            int(window_rows)
         )
         ph, pw = (-h) % bv, (-w) % 128
     elif mode in ("rowseld", "rowsel3d"):
@@ -1405,7 +1687,7 @@ def pallas_integrate(
             depths, ((0, 0), (0, ph), (0, pw)), constant_values=-1.0
         )
     hp, wp = h + ph, w + pw
-    if mode in ("rowsel3", "rowsel3m", "rowsel3h", "rowsel3d"):
+    if mode in ("rowsel3", "rowsel3m", "rowsel3h", "rowsel3d", "rowsel3w"):
         # split_depth_planes dispatches on array type: device inputs split
         # on device (no tunnel round trip).
         depths = split_depth_planes(depths)  # (V, 3, hp, wp)
@@ -1451,6 +1733,31 @@ def pallas_integrate(
             depths_orig, thick, rho, eta, delta,
             windows=windows, subtile_rows=subtile_rows,
             mode="rowselh" if mode == "rowseld" else "rowsel3h",
+            window_rows=window_rows, rowsel_passes=rowsel_passes,
+            view_block=view_block, z_block=z_block, anchors=anchors,
+        )
+    if mode in ("rowselw", "rowsel3w"):
+        # Windowed band-sweep: host-plan the per-unit band windows, run
+        # the windowed kernel, and re-dispatch the exact plain sweep if
+        # any pair escaped a window (conservative bound violated — never
+        # observed; bit-identical in both branches).
+        cz, cy, cx = vol_dev.shape
+        cy_b = _hbw_y_block(cy, cx, sj)
+        an, n_bwin = _window_band_bounds_host(
+            np.asarray(tables_tx), np.asarray(ty_vc), np.asarray(tz_kv),
+            np.asarray(tables_tc), cy_b=cy_b, bv=bv, hp=hp, h=h,
+        )
+        out, miss = _pallas_integrate_padded_keep(
+            vol_dev, *args, mode=mode,
+            band_anchors=jnp.asarray(an), n_bwin=n_bwin, **kw
+        )
+        if int(miss) == 0:
+            return out
+        return pallas_integrate(
+            vol_dev, tables_tx, tables_ty, tables_tz, tables_tc,
+            depths_orig, thick, rho, eta, delta,
+            windows=windows, subtile_rows=subtile_rows,
+            mode="rowselh" if mode == "rowselw" else "rowsel3h",
             window_rows=window_rows, rowsel_passes=rowsel_passes,
             view_block=view_block, z_block=z_block, anchors=anchors,
         )
@@ -1823,9 +2130,10 @@ class OrientedFusionPlan:
         )
         if not INTERPRET:
             mode = _vmem_safe_mode(mode, h, w, window_rows)
-        if mode in ("rowselh", "rowsel3h"):
+        if mode in ("rowselh", "rowsel3h", "rowselw", "rowsel3w"):
             bv = _hbm_band_rows(
-                w + ((-w) % 128), mode == "rowsel3h", int(window_rows)
+                w + ((-w) % 128), mode in ("rowsel3h", "rowsel3w"),
+                int(window_rows)
             )
             ph, pw = (-h) % bv, (-w) % 128
         elif mode in ("rowseld", "rowsel3d"):
@@ -1840,10 +2148,12 @@ class OrientedFusionPlan:
         sj = self.subtile_rows
         p = self.params
         # Modes whose impl returns (volume, miss): the diagnostics AND the
-        # dynamic 2-band fast path (whose miss triggers the band-sweep
-        # fallback in run()).
-        track_miss = mode in ("rowselm", "rowsel3m", "rowseld", "rowsel3d")
-        split3 = mode in ("rowsel3", "rowsel3m", "rowsel3h", "rowsel3d")
+        # dynamic/windowed band fast paths (whose miss triggers the
+        # band-sweep fallback in run()).
+        track_miss = mode in ("rowselm", "rowsel3m", "rowseld", "rowsel3d",
+                              "rowselw", "rowsel3w")
+        split3 = mode in ("rowsel3", "rowsel3m", "rowsel3h", "rowsel3d",
+                          "rowsel3w")
         staged_key = (ph, pw, split3)
         staged = self._staged_cache.get(staged_key)
         if staged is None:
@@ -1873,18 +2183,39 @@ class OrientedFusionPlan:
         ]
         group_ks = self._group_passes(rowsel_passes, window_rows, n_wc)
         self.group_passes = list(group_ks)
+        if mode in ("rowselw", "rowsel3w"):
+            # Host-plan each group's band windows from its STAGED kernel-
+            # layout tables (concrete at build time). Each group gets its
+            # own static window length; anchors ride the staged pytree.
+            bv = _hbm_band_rows(wp, split3, min(window_rows, hp))
+            wins = []
+            for arrs in staged:
+                gtx, gty, gtz, gtc = arrs[0], arrs[1], arrs[2], arrs[3]
+                cy_g, cx_g = gty.shape[1], gtx.shape[2]
+                cy_b_g = _hbw_y_block(cy_g, cx_g, sj)
+                wins.append(_window_band_bounds_host(
+                    np.asarray(gtx), np.asarray(gty), np.asarray(gtz),
+                    np.asarray(gtc), cy_b=cy_b_g, bv=bv, hp=hp, h=h,
+                ))
+            staged = [arrs + (jnp.asarray(an),)
+                      for arrs, (an, _) in zip(staged, wins)]
+            group_nbw = [nbw for _, nbw in wins]
+        else:
+            group_nbw = [0] * len(staged)
         if group_index is not None:
             gsel = slice(group_index, group_index + 1)
             staged = staged[gsel]
             metas = metas[gsel]
             group_ks = group_ks[gsel]
+            group_nbw = group_nbw[gsel]
 
         def chain(vol, staged_arrays):
             miss_total = jnp.float32(0)
-            for (order, inv, (py, px), cyp, cxp), arrs, n_k_g in zip(
-                metas, staged_arrays, group_ks
+            for (order, inv, (py, px), cyp, cxp), arrs, n_k_g, nbw_g in zip(
+                metas, staged_arrays, group_ks, group_nbw
             ):
-                tx, ty, tz, tc, depths = arrs
+                tx, ty, tz, tc, depths = arrs[:5]
+                an_g = arrs[5] if len(arrs) > 5 else None
                 volp = jnp.transpose(vol, order)
                 if py or px:
                     volp = jnp.pad(volp, ((0, 0), (0, py), (0, px)))
@@ -1895,6 +2226,7 @@ class OrientedFusionPlan:
                     eta=float(p.eta), delta=float(p.delta),
                     mode=mode, wr=min(window_rows, hp), n_k=n_k_g,
                     vb=view_block, kz=z_block, anchors=anchors,
+                    band_anchors=an_g, n_bwin=nbw_g,
                 )
                 if track_miss:
                     out, miss = out
@@ -1995,16 +2327,18 @@ class OrientedFusionPlan:
                                      if m > 0)
                 return vol
             return get_runner(key)(vol)
-        if mode in ("rowseld", "rowsel3d"):
-            # Dynamic 2-band fast path: any pair outside the two staged
-            # bands re-dispatches the exact band-sweep mode (bit-identical
-            # either way; the tracked runner keeps the input alive).
+        if mode in ("rowseld", "rowsel3d", "rowselw", "rowsel3w"):
+            # Dynamic 2-band / windowed band-sweep fast paths: any pair
+            # outside the staged bands re-dispatches the exact band-sweep
+            # mode (bit-identical either way; the tracked runner keeps the
+            # input alive).
             out, miss = get_runner(key)(vol)
             self.last_miss = int(miss)
             if self.last_miss == 0:
                 return out
             fb_key = (
-                key[0], "rowselh" if mode == "rowseld" else "rowsel3h"
+                key[0],
+                "rowselh" if mode in ("rowseld", "rowselw") else "rowsel3h",
             ) + key[2:]
             return get_runner(fb_key)(vol)
         if mode in ("rowselm", "rowsel3m"):

@@ -68,6 +68,10 @@ def check(seed) -> list[str]:
         "rowsel3h": dict(mode="rowsel3h"),
         "rowseld": dict(mode="rowseld"),
         "rowsel3d": dict(mode="rowsel3d"),
+        # Windowed band-sweep: host corner-bound windows + miss-triggered
+        # plain-sweep fallback -> bit-identical on ANY rig.
+        "rowselw": dict(mode="rowselw"),
+        "rowsel3w": dict(mode="rowsel3w"),
     }
     ref32 = None
     for name, kw in pallas_variants.items():
@@ -79,7 +83,8 @@ def check(seed) -> list[str]:
         if name == "rowsel":
             ref32 = got
         elif name in ("rowsel3", "rowselm", "rowsel_kz2", "rowselh",
-                      "rowsel3h", "rowseld", "rowsel3d") and not (
+                      "rowsel3h", "rowseld", "rowsel3d", "rowselw",
+                      "rowsel3w") and not (
             np.array_equal(got, ref32)
         ):
             # these must be BIT-identical to rowsel (same accumulation

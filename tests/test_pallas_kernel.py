@@ -566,6 +566,139 @@ def test_dyn_band_mode_pole_falls_back_exactly():
     assert plan.last_miss > 0, "pole rig should exercise the fallback"
 
 
+def test_windowed_band_mode_matches_whole_map():
+    """Windowed band-sweep ('rowselw'/'rowsel3w'): on an orbit rig the
+    host corner-bound windows cover every pair (miss == 0) and the result
+    is bit-identical to the whole-map mode. Budget shrunk so bands are 8
+    rows — the windows genuinely skip bands (multi-band regime)."""
+    from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
+        OrientedFusionPlan,
+    )
+
+    views = sphere_scene(n_views=3, width=144, height=64, focal=60.0)
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    plan = OrientedFusionPlan(grid, views, PARAMS)
+    ref = np.asarray(plan.run(vol, mode="rowsel"))
+    old = KP.DEPTH_VMEM_BUDGET
+    KP.DEPTH_VMEM_BUDGET = 2 * 8 * 256 * 4
+    try:
+        for mode in ("rowselw", "rowsel3w"):
+            got = np.asarray(plan.run(vol, mode=mode))
+            np.testing.assert_array_equal(got, ref)
+            assert plan.last_miss == 0, f"{mode} unexpectedly missed"
+    finally:
+        KP.DEPTH_VMEM_BUDGET = old
+
+
+def test_windowed_band_mode_inside_out_rig_matches():
+    """Cameras inside the grid (mixed-sign corner h2) defeat the corner
+    bound — such units get the FULL map as their window, so the windowed
+    sweep degrades to the plain sweep without losing exactness."""
+    from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
+        OrientedFusionPlan,
+    )
+    from cudadepthmapintegration_tpu.testing import (
+        look_at_camera,
+        render_sphere_view,
+    )
+
+    W, H = 144, 64
+    cams = [
+        look_at_camera((0.2, 0.0, 0.1), (2.0, 0.3, 0.0), focal=40.0,
+                       width=W, height=H),
+        look_at_camera((-0.1, 0.2, 0.0), (-2.0, 0.0, 0.4), focal=40.0,
+                       width=W, height=H),
+    ]
+    views = [render_sphere_view(c, W, H, radius=1.0, background=-1.0)
+             for c in cams]
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    plan = OrientedFusionPlan(grid, views, PARAMS)
+    ref = np.asarray(plan.run(vol, mode="rowsel"))
+    old = KP.DEPTH_VMEM_BUDGET
+    KP.DEPTH_VMEM_BUDGET = 2 * 8 * 256 * 4
+    try:
+        for mode in ("rowselw", "rowsel3w"):
+            got = np.asarray(plan.run(vol, mode=mode))
+            np.testing.assert_array_equal(got, ref)
+            assert plan.last_miss == 0, (
+                f"{mode}: full-map windows must serve every pair"
+            )
+    finally:
+        KP.DEPTH_VMEM_BUDGET = old
+
+
+def test_windowed_band_lying_anchor_falls_back_exactly(monkeypatch):
+    """If a window bound were ever violated, the in-kernel out-of-window
+    counter must trigger the exact band-sweep re-dispatch. Force it by
+    monkeypatching the host planner to claim a 1-band window anchored at
+    band 0 for every unit."""
+    from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
+        OrientedFusionPlan,
+    )
+
+    views = sphere_scene(n_views=3, width=144, height=64, focal=60.0)
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+    plan = OrientedFusionPlan(grid, views, PARAMS)
+    ref = np.asarray(plan.run(vol, mode="rowsel"))
+
+    real = KP._window_band_bounds_host
+
+    def lying(*args, **kw):
+        an, _ = real(*args, **kw)
+        return np.zeros_like(an), 1
+
+    monkeypatch.setattr(KP, "_window_band_bounds_host", lying)
+    old = KP.DEPTH_VMEM_BUDGET
+    KP.DEPTH_VMEM_BUDGET = 2 * 8 * 256 * 4
+    try:
+        got = np.asarray(plan.run(vol, mode="rowselw"))
+    finally:
+        KP.DEPTH_VMEM_BUDGET = old
+    np.testing.assert_array_equal(got, ref)
+    assert plan.last_miss > 0, "lying window should exercise the fallback"
+
+
+def test_pallas_integrate_windowed_functional_entry():
+    """The functional entry owns its own windowed-mode planning + fallback;
+    also pin the under-jit behavior (tracers -> plain band sweep)."""
+    import jax
+
+    from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
+        pallas_integrate,
+    )
+    from cudadepthmapintegration_tpu.ops.integrate import projection_tables
+
+    views = sphere_scene(n_views=3, width=144, height=64, focal=60.0)
+    grid = small_grid()
+    t = projection_tables(grid, views, np.float32)
+    depths = np.stack([v.depth for v in views]).astype(np.float32)
+    tx = KP._pad_table_invalid(t.tx, 128)  # cx padded to the lane width
+    vol = np.zeros((16, 16, 128), np.float32)  # pre-padded (cy 16, cx 128)
+    kw = dict(thick=PARAMS.thick, rho=PARAMS.rho, eta=PARAMS.eta,
+              delta=PARAMS.delta, window_rows=16, rowsel_passes=2)
+    ref = np.asarray(pallas_integrate(
+        vol, tx, t.ty, t.tz, t.tc, depths, mode="rowsel", **kw,
+    ))
+    old = KP.DEPTH_VMEM_BUDGET
+    KP.DEPTH_VMEM_BUDGET = 2 * 8 * 256 * 4
+    try:
+        got = np.asarray(pallas_integrate(
+            vol, tx, t.ty, t.tz, t.tc, depths, mode="rowselw", **kw,
+        ))
+        np.testing.assert_array_equal(got, ref)
+        traced = jax.jit(
+            lambda v, d: pallas_integrate(
+                v, tx, t.ty, t.tz, t.tc, d, mode="rowselw", **kw
+            )
+        )(vol, depths)
+        np.testing.assert_array_equal(np.asarray(traced), ref)
+    finally:
+        KP.DEPTH_VMEM_BUDGET = old
+
+
 def test_auto_rowsel_passes_bit_identical_and_per_group():
     """rowsel_passes='auto' must (a) be bit-identical to fixed counts and
     (b) actually choose DIFFERENT counts per orientation group on a mixed
