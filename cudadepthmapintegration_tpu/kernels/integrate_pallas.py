@@ -2200,6 +2200,10 @@ class OrientedFusionPlan:
             staged = [arrs + (jnp.asarray(an),)
                       for arrs, (an, _) in zip(staged, wins)]
             group_nbw = [nbw for _, nbw in wins]
+            # Probe/diagnostic record: per-group (window bands, map bands).
+            self.group_band_windows = [
+                (nbw, hp // bv) for nbw in group_nbw
+            ]
         else:
             group_nbw = [0] * len(staged)
         if group_index is not None:

@@ -9,6 +9,17 @@ GB/s and overlaps fusion (pipeline/streaming.py); the fusion math is
 identical to the library path (pallas_integrate).
 
 Run:  python scripts/capstone_1024.py [n_views] [dims]
+      python scripts/capstone_1024.py hd [n_views] [dims]   # 1080p views
+      python scripts/capstone_1024.py ckpt                  # resume drill
+
+Round-4 additions (VERDICT r3 item 5): per-orientation-group adaptive
+pass counts (CAPSTONE_K=auto, the production default — same sampled-span
+machinery as OrientedFusionPlan); an HD phase (1920x1080 maps through the
+HBM band modes, CAPSTONE_HD_MODE selects rowsel3h/rowselw); and a
+mid-run checkpoint/resume drill (save at the halfway view, reload, finish,
+compare checksums against the straight run — at 257^3 where the volume
+D2H fits this rig's ~6 MB/s tunnel; the checkpoint math is grid-size
+independent, pipeline/checkpoint.py).
 """
 
 import functools
@@ -26,8 +37,10 @@ from cudadepthmapintegration_tpu.core import RayPotential, VoxelGrid
 from cudadepthmapintegration_tpu.core.view import DepthMapView
 from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
     _pad_table_invalid,
+    _sample_group_spans,
     group_views_by_orientation,
     pallas_integrate,
+    recommend_rowsel_passes,
 )
 from cudadepthmapintegration_tpu.ops.integrate import projection_tables
 from cudadepthmapintegration_tpu.ops.marching_cubes import extract_isosurface
@@ -55,11 +68,16 @@ def render_sphere_batch(k_invs, c_cams, width, height, radius=1.0):
     return jax.vmap(one)(k_invs, c_cams)
 
 
-def main():
-    n_views = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    dims = int(sys.argv[2]) if len(sys.argv) > 2 else 1025
+def fuse(n_views, dims, w=512, h=512, mode="rowsel3", checkpoint_mid=None,
+         mesh=True):
+    """Fuse n_views device-rendered sphere maps into a dims^3 grid.
+
+    mode: any pallas_integrate mode (HD phases use the HBM band modes).
+    checkpoint_mid: path — save a pipeline checkpoint after roughly half
+    the views, DISCARD the live volume, reload from disk, and finish —
+    the BASELINE preemption-resume property driven at capstone scale.
+    Returns (checksum, G upd/s)."""
     batch = 16
-    h = w = 512
 
     grid = VoxelGrid(
         dims=(dims,) * 3, origin=(-1.63, -1.61, -1.59),
@@ -70,13 +88,15 @@ def main():
         delta=8.0 * grid.spacing[0],
     )
     rng = np.random.default_rng(0)
+    f_scale = w / 512.0  # keep the grid's image footprint fraction at HD
     cams = []
     for i in range(n_views):
         a = 2 * np.pi * i / n_views
         r = float(rng.uniform(3.5, 4.5))
         eye = (r * np.cos(a), r * np.sin(a), float(rng.uniform(-1, 1)))
         cams.append(
-            look_at_camera(eye, (0, 0, 0), focal=float(rng.uniform(250, 350)),
+            look_at_camera(eye, (0, 0, 0),
+                           focal=f_scale * float(rng.uniform(250, 350)),
                            width=w, height=h)
         )
 
@@ -105,15 +125,30 @@ def main():
         inv = tuple(int(x) for x in np.argsort(order))
         dims_p = [(cz, cy, cx)[o] for o in order]
         czp, cyp, cxp = dims_p
-        py, px = (-cyp) % 16, (-cxp) % 128
+        py, px = (-cyp) % 64, (-cxp) % 128  # sj=64 subtiles, 128 lanes
         sel = np.asarray(idxs)
         pad_views = (-len(sel)) % batch
-        sel_p = np.concatenate([sel, sel[: pad_views]]) if pad_views else sel
+        # np.resize repeats cyclically — correct even when the group is
+        # smaller than one batch (the tail mask zeroes the repeats).
+        sel_p = np.resize(sel, len(sel) + pad_views) if pad_views else sel
+        # Per-group pass count (CAPSTONE_K=auto default): the same
+        # sampled-span machinery OrientedFusionPlan ships in production
+        # ('rowsel_passes="auto"', docs/KERNEL.md round-3 table).
+        k_env = os.environ.get("CAPSTONE_K", "auto")
+        if k_env == "auto":
+            stats = _sample_group_spans(
+                axis_tables[l_ax][sel], axis_tables[s_ax][sel],
+                axis_tables[k_ax][sel], tables.tc[sel],
+                czp, cyp, cxp, h, w, 64, 64, 2,
+            )
+            n_k = recommend_rowsel_passes(stats, 64)
+        else:
+            n_k = int(k_env)
         staged.append(
             dict(
                 order=order, inv=inv, py=py, px=px, cyp=cyp, cxp=cxp,
                 n_real=len(sel),
-                sel=sel_p,
+                sel=sel_p, n_k=n_k,
                 tx=jnp.asarray(_pad_table_invalid(axis_tables[l_ax][sel_p], cxp + px)),
                 ty=jnp.asarray(_pad_table_invalid(axis_tables[s_ax][sel_p], cyp + py)),
                 tz=jnp.asarray(axis_tables[k_ax][sel_p]),
@@ -121,7 +156,8 @@ def main():
             )
         )
     print(f"staged in {time.time() - t_stage:.1f}s "
-          f"(groups: {[g['n_real'] for g in staged]})", flush=True)
+          f"(groups: {[g['n_real'] for g in staged]}, "
+          f"passes: {[g['n_k'] for g in staged]})", flush=True)
 
     # ---- Fusion ----------------------------------------------------------
     vol = jnp.zeros(grid.volume_shape, jnp.float32)
@@ -132,6 +168,7 @@ def main():
     )
     t0 = time.time()
     n_done = 0
+    ckpt_done = checkpoint_mid is None
     for g in staged:
         volp = jnp.transpose(vol, g["order"])
         if g["py"] or g["px"]:
@@ -139,6 +176,37 @@ def main():
         sel_dev = jnp.asarray(g["sel"], jnp.int32)
         n_pad = len(g["sel"])
         for s in range(0, n_pad, batch):
+            if not ckpt_done and n_done >= n_views // 2:
+                # Mid-run preemption drill: save the canonical volume,
+                # drop the live one, reload from disk, keep fusing. Every
+                # step (transpose round trip, D2H, npz, H2D) is value-
+                # preserving, so the final checksum must equal the
+                # straight run's bit for bit.
+                from cudadepthmapintegration_tpu.pipeline.checkpoint import (
+                    FusionCheckpoint,
+                    load_checkpoint,
+                    save_checkpoint,
+                )
+
+                t_c = time.time()
+                vol_c = np.asarray(
+                    jnp.transpose(volp[:, : g["cyp"], : g["cxp"]], g["inv"])
+                )
+                save_checkpoint(checkpoint_mid, FusionCheckpoint(
+                    volume=vol_c, views_fused=n_done, grid=grid,
+                    params=params))
+                del volp, vol_c
+                ck = load_checkpoint(checkpoint_mid)
+                assert ck.matches(grid, params), "checkpoint config drifted"
+                assert ck.views_fused == n_done
+                volp = jnp.transpose(jnp.asarray(ck.volume), g["order"])
+                if g["py"] or g["px"]:
+                    volp = jnp.pad(
+                        volp, ((0, 0), (0, g["py"]), (0, g["px"])))
+                ckpt_done = True
+                print(f"  checkpoint/resume drill at {n_done} views "
+                      f"({time.time() - t_c:.1f}s incl. D2H+H2D on the "
+                      f"~6 MB/s tunnel)", flush=True)
             ids = sel_dev[s : s + batch]
             depths = render_sphere_batch(
                 jnp.take(k_invs_all, ids, axis=0),
@@ -161,11 +229,12 @@ def main():
                 jax.lax.dynamic_slice_in_dim(g["tc"], s, batch, 0),
                 depths,
                 params.thick, params.rho, params.eta, params.delta,
-                # Tuned round-2.5 defaults (docs/KERNEL.md); the rendered
-                # depths stay on device — rowsel3's plane split runs
-                # on-chip too (split_depth_planes jax path).
-                subtile_rows=64, mode="rowsel3", window_rows=64,
-                rowsel_passes=6,
+                # Tuned round-2.5 defaults + per-group auto passes
+                # (docs/KERNEL.md); the rendered depths stay on device —
+                # rowsel3's plane split runs on-chip too
+                # (split_depth_planes jax path).
+                subtile_rows=64, mode=mode, window_rows=64,
+                rowsel_passes=g["n_k"],
                 z_block=int(os.environ.get("CAPSTONE_KZ", "1")),
             )
             n_done += n_real_here
@@ -177,30 +246,56 @@ def main():
     checksum = float(vol.sum())
     dt = time.time() - t0
     updates = grid.num_cells * n_views
+    rate = updates / dt / 1e9
     print(
-        f"DONE: {n_views} views -> {dims-1}^3 in {dt:.1f}s = "
-        f"{updates/dt/1e9:.2f} G voxel-updates/s "
+        f"DONE: {n_views} x {w}x{h} views -> {dims-1}^3 mode={mode} in "
+        f"{dt:.1f}s = {rate:.2f} G voxel-updates/s "
         f"({n_views/dt:.1f} maps/s), checksum {checksum:.0f}",
         flush=True,
     )
-    import os
-    if os.environ.get("CAPSTONE_SKIP_MESH"):
+    if mesh and not os.environ.get("CAPSTONE_SKIP_MESH"):
+        # Mesh a central crop (full-volume D2H is tunnel-bound on this rig).
+        c0 = (dims - 1) // 4
+        crop = np.asarray(vol[c0 : 3 * c0, c0 : 3 * c0, c0 : 3 * c0])
+        sub = VoxelGrid(
+            dims=(2 * c0 + 1,) * 3,
+            origin=tuple(np.array(grid.origin) + c0 * np.array(grid.spacing)),
+            spacing=grid.spacing,
+        )
+        m = extract_isosurface(sub, crop, iso=1.0)
+        r = np.linalg.norm(m.points, axis=1)
+        print(
+            f"central-crop mesh: {m.num_triangles} tris, "
+            f"median radius {np.median(r):.4f} (expect 1.0)",
+            flush=True,
+        )
+    return checksum, rate
+
+
+def main():
+    args = sys.argv[1:]
+    if args and args[0] == "hd":
+        # North-star grid x HD maps through the HBM band modes.
+        n_views = int(args[1]) if len(args) > 1 else 32
+        dims = int(args[2]) if len(args) > 2 else 1025
+        mode = os.environ.get("CAPSTONE_HD_MODE", "rowsel3h")
+        fuse(n_views, dims, w=1920, h=1080, mode=mode, mesh=False)
         return
-    # Mesh a central crop (full-volume D2H is tunnel-bound on this rig).
-    c0 = (dims - 1) // 4
-    crop = np.asarray(vol[c0 : 3 * c0, c0 : 3 * c0, c0 : 3 * c0])
-    sub = VoxelGrid(
-        dims=(2 * c0 + 1,) * 3,
-        origin=tuple(np.array(grid.origin) + c0 * np.array(grid.spacing)),
-        spacing=grid.spacing,
-    )
-    mesh = extract_isosurface(sub, crop, iso=1.0)
-    r = np.linalg.norm(mesh.points, axis=1)
-    print(
-        f"central-crop mesh: {mesh.num_triangles} tris, "
-        f"median radius {np.median(r):.4f} (expect 1.0)",
-        flush=True,
-    )
+    if args and args[0] == "ckpt":
+        # Mid-run checkpoint/resume drill on the HD path: straight run vs
+        # save-at-half/reload/finish must agree bit for bit. 257^3 so the
+        # full-volume D2H fits this rig's ~6 MB/s tunnel (64 MB).
+        mode = os.environ.get("CAPSTONE_HD_MODE", "rowsel3h")
+        c1, _ = fuse(16, 257, w=1920, h=1080, mode=mode, mesh=False)
+        c2, _ = fuse(16, 257, w=1920, h=1080, mode=mode, mesh=False,
+                     checkpoint_mid="/tmp/capstone_ckpt.npz")
+        tag = "MATCH" if c1 == c2 else "MISMATCH"
+        print(f"ckpt drill: straight {c1:.6g} resumed {c2:.6g} {tag}",
+              flush=True)
+        return
+    n_views = int(args[0]) if args else 1000
+    dims = int(args[1]) if len(args) > 1 else 1025
+    fuse(n_views, dims)
 
 
 if __name__ == "__main__":

@@ -40,7 +40,7 @@ def _measure(plan, grid, label, ref, **kw):
         ups = grid.num_cells * 8 / best
         tag = "" if ref is None or checksum == ref else "  MISMATCH"
         miss = getattr(plan, "last_miss", None)
-        extra = f" miss={miss:.0f}" if kw.get("mode", "").endswith("d") \
+        extra = f" miss={miss:.0f}" if kw.get("mode", "").endswith(("d", "w")) \
             and miss is not None else ""
         print(f"  {label}: {ups / 1e9:5.2f} G ({best * 1e3:6.1f} ms) "
               f"checksum {checksum:.6g}{extra}{tag}", flush=True)
@@ -91,6 +91,36 @@ def phase_dyn(grid):
         KP.DYN_CY_B = 64
 
 
+def phase_win(grid):
+    """Windowed band-sweep (rowselw/rowsel3w) vs the plain sweep: the
+    per-unit window drops bands a unit cannot touch (VERDICT r3 item 4 —
+    the v20 scalar-prefetch channel in production). Sweeps the y-block
+    cap (HBW_CY_B): tighter blocks -> tighter windows -> fewer band steps,
+    but more band-block re-fetches. miss must stay 0 (window bound holds)
+    and checksums bit-match the plain sweep."""
+    for w, h in ((640, 480), (1024, 768), (1920, 1080)):
+        cams = orbit_cameras(8, 4.0, focal=0.6 * w, width=w, image_height=h)
+        views = [render_sphere_view(c, w, h, radius=1.0, background=-1.0)
+                 for c in cams]
+        ref = None
+        for mode, cyb in (("rowsel3h", 128), ("rowsel3w", 320),
+                          ("rowsel3w", 128), ("rowsel3w", 64),
+                          ("rowselw", 128), ("rowselh", 128)):
+            KP.HBW_CY_B = cyb
+            # Fresh plan per row: the runner cache does not key HBW_CY_B.
+            plan = OrientedFusionPlan(grid, views, PARAMS, subtile_rows=64)
+            t0 = time.time()
+            ref = _measure(
+                plan, grid, f"{w}x{h} {mode:9s} cyb{cyb:3d}", ref,
+                mode=mode, window_rows=64, rowsel_passes=6,
+            )
+            wins = getattr(plan, "group_band_windows", None)
+            miss = getattr(plan, "last_miss", None)
+            print(f"    [total incl compile: {time.time() - t0:.0f}s "
+                  f"windows={wins} miss={miss}]", flush=True)
+        KP.HBW_CY_B = 128
+
+
 def phase_hd1024(_grid):
     """North-star grid with HD imagery: 1024^3 cells x 16 views of
     1920x1080 through the band-sweep (both plane layouts)."""
@@ -130,7 +160,8 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
     grid = VoxelGrid(dims=(257,) * 3, origin=(-1.6,) * 3,
                      spacing=(3.2 / 256,) * 3)
-    phases = {"cap": phase_cap, "dyn": phase_dyn, "hd1024": phase_hd1024}
+    phases = {"cap": phase_cap, "dyn": phase_dyn, "hd1024": phase_hd1024,
+              "win": phase_win}
     want = [a for a in sys.argv[1:] if a in phases] or ["cap"]
     for name in want:
         phases[name](grid)
