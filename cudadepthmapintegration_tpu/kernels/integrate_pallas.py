@@ -627,6 +627,13 @@ def _window_band_bounds_host(tx, ty_vc, tz_kv, tc, *, cy_b, bv, hp, h):
     hi = np.clip(np.floor(vmax + 2.0).astype(np.int64) // bv, 0, hi_cap)
     lo = np.where(pos, lo, 0)
     hi = np.where(pos, hi, hi_cap)
+    # Padded dummy views (_pad_views_invalid poisons tc row 2) have NO
+    # valid pairs — their poisoned corners fail ``pos`` and would force
+    # full-map windows on the whole sweep; give them 1-band windows
+    # instead (the kernel's validity mask serves them vacuously).
+    dead = (tc[:, 2] <= -big)[None, :, None]  # (1, V, 1) vs (cz, V, njt)
+    lo = np.where(dead, 0, lo)
+    hi = np.where(dead, 0, hi)
     n_bwin = int((hi - lo + 1).max()) if lo.size else 1
     # The window must fit the padded map: an + n_bwin <= n_bands. Shifting
     # an anchor left only widens coverage ([an, an + n_bwin) still holds
