@@ -73,10 +73,13 @@ DYN_CY_B = 64
 
 # Volume y-block height cap for the WINDOWED band-sweep modes
 # ('rowselw'/'rowsel3w'): shorter y-blocks project tighter row spans, so
-# the static per-unit band window (n_bwin = max units' span) shrinks —
-# at the cost of re-fetching each band block once per extra y-block.
+# the static per-unit band window (n_bwin = max units' span) COULD shrink
+# — but measured (2026-08-20, tpu_band_probe win): the windows did NOT
+# tighten with shorter blocks on the probe rigs (the span is z-slice- and
+# view-dominated there) while the extra band re-fetches cost 5-25%, so
+# the default is now effectively unclamped (= the standard 2 MiB y-block).
 # Probe knob (scripts/tpu_band_probe.py sweeps it).
-HBW_CY_B = 128
+HBW_CY_B = 1 << 20
 
 # Band-height cap for the HBM band-sweep modes (see _hbm_band_rows):
 # taller bands = fewer band sweeps (less re-projection) but more VMEM.

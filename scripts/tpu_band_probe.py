@@ -121,6 +121,33 @@ def phase_win(grid):
         KP.HBW_CY_B = 128
 
 
+def phase_cap2(grid):
+    """Band caps ABOVE 256: the round-3 sweep ({64,128,256}) was monotone
+    in favor of taller bands but stopped at 256. The VMEM budget still
+    auto-clamps (3-plane at wide maps), so only the single-plane modes
+    can actually get taller — at 640-wide, cap512 makes the whole padded
+    map ONE band (the whole-map VMEM rate with HBM staging)."""
+    for w, h in ((640, 480), (1024, 768), (1920, 1080)):
+        cams = orbit_cameras(8, 4.0, focal=0.6 * w, width=w, image_height=h)
+        views = [render_sphere_view(c, w, h, radius=1.0, background=-1.0)
+                 for c in cams]
+        ref = None
+        for mode, cap in (("rowselh", 256), ("rowselh", 512),
+                          ("rowselh", 1024), ("rowsel3h", 512),
+                          ("rowselw", 512), ("rowsel3w", 512)):
+            KP.HBM_BAND_CAP = cap
+            plan = OrientedFusionPlan(grid, views, PARAMS, subtile_rows=64)
+            t0 = time.time()
+            ref = _measure(
+                plan, grid, f"{w}x{h} {mode:9s} cap{cap:4d}", ref,
+                mode=mode, window_rows=64, rowsel_passes=6,
+            )
+            wins = getattr(plan, "group_band_windows", None)
+            print(f"    [total incl compile: {time.time() - t0:.0f}s "
+                  f"windows={wins}]", flush=True)
+        KP.HBM_BAND_CAP = 256
+
+
 def phase_hd1024(_grid):
     """North-star grid with HD imagery: 1024^3 cells x 16 views of
     1920x1080 through the band-sweep (both plane layouts)."""
@@ -161,7 +188,7 @@ def main():
     grid = VoxelGrid(dims=(257,) * 3, origin=(-1.6,) * 3,
                      spacing=(3.2 / 256,) * 3)
     phases = {"cap": phase_cap, "dyn": phase_dyn, "hd1024": phase_hd1024,
-              "win": phase_win}
+              "win": phase_win, "cap2": phase_cap2}
     want = [a for a in sys.argv[1:] if a in phases] or ["cap"]
     for name in want:
         phases[name](grid)
