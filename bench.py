@@ -456,13 +456,17 @@ def main():
     def phase_hd():
         # HD depth maps on the HBM band-sweep path (round-3 capability:
         # 1920x1080 was a hard error before; now parity-gated vs XLA).
+        # mode='rowsel' exercises the PRODUCTION route: _vmem_safe_mode
+        # sends oversized maps to the band-count-optimal band-sweep mode
+        # (rowselh at 1920-wide under the cap-1024 default — the cap2
+        # probe's winner; bit-identical to every other mode).
         grid, views, params = build_workload(
             dims=257, n_views=8, width=1920, height=1080
         )
         beat()
         t_hd, _, sum_hd = bench_pallas(
             grid, views, params, reps=3,
-            run_kw=dict(mode="rowsel3h", window_rows=64, rowsel_passes=6),
+            run_kw=dict(mode="rowsel", window_rows=64, rowsel_passes=6),
         )
         t_hd_xla, sum_hd_xla = bench_xla(grid, views, params)
         hd_rel = abs(sum_hd - sum_hd_xla) / max(abs(sum_hd_xla), 1.0)

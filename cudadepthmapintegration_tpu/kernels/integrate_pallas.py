@@ -83,11 +83,15 @@ HBW_CY_B = 1 << 20
 
 # Band-height cap for the HBM band-sweep modes (see _hbm_band_rows):
 # taller bands = fewer band sweeps (less re-projection) but more VMEM.
-# Measured (scripts/tpu_band_probe.py, 256^3 x 8): 256 is optimal at
-# every size — 640x480 1.30 G (97% of the whole-map mode), 1024x768
-# 0.74 G; at 1920 wide the VMEM budget clamps bv to 128 (0.32 G).
-# Checksums are bit-identical at any cap.
-HBM_BAND_CAP = 256
+# Measured (scripts/tpu_band_probe.py cap/cap2, 256^3 x 8): monotone in
+# favor of taller bands at EVERY size the budget admits — the r3 sweep
+# stopped at 256; cap2 (2026-08-20) showed 640x480 rowsel3h 1.30 -> 1.48 G
+# (one 512-row band = whole padded map, beating even the VMEM whole-map
+# mode's 1.34), 1024x768 rowselh 0.79 -> 0.91 G (one 1024-row band),
+# 1920x1080 flat at 0.37 (budget clamps bv to 512 = 3 bands). The
+# DEPTH_VMEM_BUDGET halving loop is the real limiter, so the cap is now
+# just a generous ceiling. Checksums are bit-identical at any cap.
+HBM_BAND_CAP = 1024
 
 # Cap on the double-buffered (vb, [3,] hp, wp) depth block: view_block is
 # clamped so 2x the block stays under this many bytes of the ~16 MiB
@@ -154,15 +158,16 @@ def _vmem_safe_mode(mode, h, w, window_rows):
                 # Diagnostics never switch residency silently.
                 _check_depth_vmem(h, w, hp, wp, split3=True)
             # Very wide maps squeeze the 3-plane band height below the
-            # single-plane one; fewer, taller bands win (measured at
-            # 1920x1080: rowselh 0.37 G vs rowsel3h 0.32 G) — route to
-            # the single-plane band sweep there (bit-identical either
-            # way; rowsel's HIGHEST-precision selects are exact).
-            target = (
-                "rowselh"
-                if _hbm_band_rows(wp, True, 64) < _hbm_band_rows(wp, False, 64)
-                else "rowsel3h"
-            )
+            # single-plane one; FEWER BANDS win (measured at 1920x1080:
+            # rowselh 3 bands 0.37 G vs rowsel3h 9 bands 0.32 G) — but on
+            # equal band count the 3-plane DEFAULT-precision selects win
+            # (640x480 one-band: rowsel3h 1.48 vs rowselh 1.37, cap2
+            # probe). Compare counts, prefer 3-plane on ties
+            # (bit-identical either way; rowsel's HIGHEST-precision
+            # selects are exact).
+            nb3 = -(-h // _hbm_band_rows(wp, True, 64))
+            nb1 = -(-h // _hbm_band_rows(wp, False, 64))
+            target = "rowsel3h" if nb3 <= nb1 else "rowselh"
             log.warning(
                 "depth maps %dx%d exceed even the single-plane VMEM "
                 "ceiling; using HBM-resident mode=%r "

@@ -394,11 +394,12 @@ def test_vmem_safe_mode_downgrade():
     assert _vmem_safe_mode("rowsel3m", 768, 1024, 64) == "rowselm"
     assert _vmem_safe_mode("rowsel", 768, 1024, 64) == "rowsel"
     # Beyond the single-plane ceiling: HBM-resident band-sweep modes, no
-    # error. Very wide maps route rowsel3 to the SINGLE-plane band sweep
-    # (taller bands beat 3-plane select precision-cost, measured at
-    # 1920x1080); narrower-but-tall maps keep the 3-plane sweep.
+    # error. Routing compares BAND COUNTS (fewer bands won at every cap2
+    # probe point) and prefers the 3-plane sweep only on ties — at
+    # 2000x1000 the single plane fits 1024-row bands (2 bands) while the
+    # 3-plane budget clamps to 256 (8 bands), so rowselh wins there too.
     assert _vmem_safe_mode("rowsel3", 1536, 2048, 64) == "rowselh"
-    assert _vmem_safe_mode("rowsel3", 2000, 1000, 64) == "rowsel3h"
+    assert _vmem_safe_mode("rowsel3", 2000, 1000, 64) == "rowselh"
     assert _vmem_safe_mode("rowsel", 1536, 2048, 64) == "rowselh"
     assert _vmem_safe_mode("rowsel3h", 480, 640, 64) == "rowsel3h"
     assert _vmem_safe_mode("rowselh", 1536, 2048, 64) == "rowselh"
