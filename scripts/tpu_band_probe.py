@@ -148,6 +148,28 @@ def phase_cap2(grid):
         KP.HBM_BAND_CAP = 256
 
 
+def phase_hdk(grid):
+    """Pass-count sweep for the HD band sweep: the k6 default came from
+    the WHOLE-map 512^2 sweep, but a band clips each unit's rows to the
+    band height, changing the span-vs-pass economics; 1080p spends its
+    time in per-band gather/select work (cap2 analysis), so fewer passes
+    may win there."""
+    w, h = 1920, 1080
+    cams = orbit_cameras(8, 4.0, focal=0.6 * w, width=w, image_height=h)
+    views = [render_sphere_view(c, w, h, radius=1.0, background=-1.0)
+             for c in cams]
+    plan = OrientedFusionPlan(grid, views, PARAMS, subtile_rows=64)
+    ref = None
+    for k in (2, 4, 6, 8):
+        t0 = time.time()
+        ref = _measure(
+            plan, grid, f"{w}x{h} rowselh k{k}", ref,
+            mode="rowselh", window_rows=64, rowsel_passes=k,
+        )
+        print(f"    [total incl compile: {time.time() - t0:.0f}s]",
+              flush=True)
+
+
 def phase_hd1024(_grid):
     """North-star grid with HD imagery: 1024^3 cells x 16 views of
     1920x1080 through the band-sweep (both plane layouts)."""
@@ -188,7 +210,7 @@ def main():
     grid = VoxelGrid(dims=(257,) * 3, origin=(-1.6,) * 3,
                      spacing=(3.2 / 256,) * 3)
     phases = {"cap": phase_cap, "dyn": phase_dyn, "hd1024": phase_hd1024,
-              "win": phase_win, "cap2": phase_cap2}
+              "win": phase_win, "cap2": phase_cap2, "hdk": phase_hdk}
     want = [a for a in sys.argv[1:] if a in phases] or ["cap"]
     for name in want:
         phases[name](grid)
