@@ -57,6 +57,7 @@ def phase_cap(grid):
         views = [render_sphere_view(c, w, h, radius=1.0, background=-1.0)
                  for c in cams]
         ref = None
+        cap0 = KP.HBM_BAND_CAP
         for cap in (64, 128, 256):
             KP.HBM_BAND_CAP = cap
             plan = OrientedFusionPlan(grid, views, PARAMS, subtile_rows=64)
@@ -64,7 +65,7 @@ def phase_cap(grid):
                 plan, grid, f"{w}x{h} cap{cap:3d}", ref,
                 mode="rowsel3h", window_rows=64, rowsel_passes=6,
             )
-        KP.HBM_BAND_CAP = 256
+        KP.HBM_BAND_CAP = cap0
 
 
 def phase_dyn(grid):
@@ -103,6 +104,7 @@ def phase_win(grid):
         views = [render_sphere_view(c, w, h, radius=1.0, background=-1.0)
                  for c in cams]
         ref = None
+        cyb0 = KP.HBW_CY_B
         for mode, cyb in (("rowsel3h", 128), ("rowsel3w", 320),
                           ("rowsel3w", 128), ("rowsel3w", 64),
                           ("rowselw", 128), ("rowselh", 128)):
@@ -118,7 +120,7 @@ def phase_win(grid):
             miss = getattr(plan, "last_miss", None)
             print(f"    [total incl compile: {time.time() - t0:.0f}s "
                   f"windows={wins} miss={miss}]", flush=True)
-        KP.HBW_CY_B = 128
+        KP.HBW_CY_B = cyb0
 
 
 def phase_cap2(grid):
@@ -132,6 +134,7 @@ def phase_cap2(grid):
         views = [render_sphere_view(c, w, h, radius=1.0, background=-1.0)
                  for c in cams]
         ref = None
+        cap0 = KP.HBM_BAND_CAP
         for mode, cap in (("rowselh", 256), ("rowselh", 512),
                           ("rowselh", 1024), ("rowsel3h", 512),
                           ("rowselw", 512), ("rowsel3w", 512)):
@@ -145,7 +148,7 @@ def phase_cap2(grid):
             wins = getattr(plan, "group_band_windows", None)
             print(f"    [total incl compile: {time.time() - t0:.0f}s "
                   f"windows={wins}]", flush=True)
-        KP.HBM_BAND_CAP = 256
+        KP.HBM_BAND_CAP = cap0
 
 
 def phase_hdk(grid):
