@@ -278,14 +278,16 @@ def main():
         # North-star grid x HD maps through the HBM band modes.
         n_views = int(args[1]) if len(args) > 1 else 32
         dims = int(args[2]) if len(args) > 2 else 1025
-        mode = os.environ.get("CAPSTONE_HD_MODE", "rowsel3h")
+        # 'rowsel' = the production route: _vmem_safe_mode picks the
+        # band-count-optimal band-sweep mode (rowselh at 1920-wide).
+        mode = os.environ.get("CAPSTONE_HD_MODE", "rowsel")
         fuse(n_views, dims, w=1920, h=1080, mode=mode, mesh=False)
         return
     if args and args[0] == "ckpt":
         # Mid-run checkpoint/resume drill on the HD path: straight run vs
         # save-at-half/reload/finish must agree bit for bit. 257^3 so the
         # full-volume D2H fits this rig's ~6 MB/s tunnel (64 MB).
-        mode = os.environ.get("CAPSTONE_HD_MODE", "rowsel3h")
+        mode = os.environ.get("CAPSTONE_HD_MODE", "rowsel")
         c1, _ = fuse(16, 257, w=1920, h=1080, mode=mode, mesh=False)
         c2, _ = fuse(16, 257, w=1920, h=1080, mode=mode, mesh=False,
                      checkpoint_mid="/tmp/capstone_ckpt.npz")
