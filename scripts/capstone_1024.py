@@ -183,7 +183,11 @@ def fuse(n_views, dims, w=512, h=512, mode="rowsel3", checkpoint_mid=None,
         n_real, n_k = g["n_real"], g["n_k"]
         nb = len(g["sel"]) // batch
 
-        @jax.jit
+        # volp MUST be donated: without it the program holds input + loop
+        # carry + output volumes (3 x 4.3 GB at 1024^3, next to the
+        # canonical `vol` the caller frees before dispatch) — the first
+        # jitted run without donation crashed the TPU worker outright.
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def run(volp, txs, tys, tzs, tcs, kis, ccs):
             def body(i, volp):
                 depths = render_sphere_batch(kis[i], ccs[i], w, h)
@@ -234,6 +238,7 @@ def fuse(n_views, dims, w=512, h=512, mode="rowsel3", checkpoint_mid=None,
         volp = jnp.transpose(vol, g["order"])
         if g["py"] or g["px"]:
             volp = jnp.pad(volp, ((0, 0), (0, g["py"]), (0, g["px"])))
+        del vol  # free the canonical buffer while the group runs (4.3 GB)
         sel_dev = jnp.asarray(g["sel"], jnp.int32)
         nb = len(g["sel"]) // batch
         stack = lambda a: a.reshape(nb, batch, *a.shape[1:])
