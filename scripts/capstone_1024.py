@@ -12,6 +12,15 @@ Run:  python scripts/capstone_1024.py [n_views] [dims]
       python scripts/capstone_1024.py hd [n_views] [dims]   # 1080p views
       python scripts/capstone_1024.py ckpt                  # resume drill
 
+Tried and REVERTED (2026-08-20): compiling each group's whole batch loop
+into one jitted fori_loop dispatch (to remove the ~1.7 s/batch eager
+dispatch RTT this rig's tunnel inflicts — measured k6 270 s vs the
+~180 s the kernel rate implies) CRASHES the TPU worker at 1024^3, with
+and without donating the volume into the loop ("TPU worker process
+crashed or restarted", twice, 2 runs). The eager per-batch loop stands;
+on a production TPU VM the per-dispatch RTT is negligible, so the rig
+tax is a tunnel artifact, not a framework property.
+
 Round-4 additions (VERDICT r3 item 5): per-orientation-group adaptive
 pass counts (CAPSTONE_K=auto, the production default — same sampled-span
 machinery as OrientedFusionPlan); an HD phase (1920x1080 maps through the
@@ -169,88 +178,77 @@ def fuse(n_views, dims, w=512, h=512, mode="rowsel3", checkpoint_mid=None,
     t0 = time.time()
     n_done = 0
     ckpt_done = checkpoint_mid is None
-    kz = int(os.environ.get("CAPSTONE_KZ", "1"))
-
-    def make_group_runner(g):
-        """ONE dispatch per orientation group: render + fuse every batch
-        inside a single compiled fori_loop. The round-4 differential runs
-        (k6 fixed: 270 s; auto: 334 s; vs r2's 179 s) showed ~1.7 s of
-        EAGER dispatch overhead per batch through this rig's high-RTT
-        tunnel control plane (~8 eager ops x 63 batches); compiling the
-        loop removes all of it. Values are unchanged: same per-batch op
-        sequence (render -> pad-view mask -> pallas_integrate), same
-        order, so checksums stay bit-identical to the eager loop."""
-        n_real, n_k = g["n_real"], g["n_k"]
-        nb = len(g["sel"]) // batch
-
-        # volp MUST be donated: without it the program holds input + loop
-        # carry + output volumes (3 x 4.3 GB at 1024^3, next to the
-        # canonical `vol` the caller frees before dispatch) — the first
-        # jitted run without donation crashed the TPU worker outright.
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def run(volp, txs, tys, tzs, tcs, kis, ccs):
-            def body(i, volp):
-                depths = render_sphere_batch(kis[i], ccs[i], w, h)
-                # Duplicated pad views at the tail would double-count:
-                # feed all-invalid depth maps instead.
-                n_here = jnp.clip(n_real - i * batch, 0, batch)
-                m = (jnp.arange(batch) < n_here)[:, None, None]
-                depths = jnp.where(m, depths, -1.0)
-                # The rendered depths stay on device — rowsel3's plane
-                # split runs on-chip too (split_depth_planes jax path,
-                # optimization_barrier keeps the split exact under jit).
-                return pallas_integrate(
-                    volp, txs[i], tys[i], tzs[i], tcs[i], depths,
-                    params.thick, params.rho, params.eta, params.delta,
-                    subtile_rows=64, mode=mode, window_rows=64,
-                    rowsel_passes=n_k, z_block=kz,
-                )
-
-            return jax.lax.fori_loop(0, nb, body, volp)
-
-        return run
-
     for g in staged:
-        if not ckpt_done and n_done >= n_views // 2:
-            # Mid-run preemption drill (group boundary): save the
-            # canonical volume, drop the live one, reload from disk,
-            # keep fusing. Every step is value-preserving, so the final
-            # checksum must equal the straight run's bit for bit.
-            from cudadepthmapintegration_tpu.pipeline.checkpoint import (
-                FusionCheckpoint,
-                load_checkpoint,
-                save_checkpoint,
-            )
-
-            t_c = time.time()
-            save_checkpoint(checkpoint_mid, FusionCheckpoint(
-                volume=np.asarray(vol), views_fused=n_done, grid=grid,
-                params=params))
-            del vol
-            ck = load_checkpoint(checkpoint_mid)
-            assert ck.matches(grid, params), "checkpoint config drifted"
-            assert ck.views_fused == n_done
-            vol = jnp.asarray(ck.volume)
-            ckpt_done = True
-            print(f"  checkpoint/resume drill at {n_done} views "
-                  f"({time.time() - t_c:.1f}s incl. D2H+H2D on the "
-                  f"~6 MB/s tunnel)", flush=True)
         volp = jnp.transpose(vol, g["order"])
         if g["py"] or g["px"]:
             volp = jnp.pad(volp, ((0, 0), (0, g["py"]), (0, g["px"])))
-        del vol  # free the canonical buffer while the group runs (4.3 GB)
         sel_dev = jnp.asarray(g["sel"], jnp.int32)
-        nb = len(g["sel"]) // batch
-        stack = lambda a: a.reshape(nb, batch, *a.shape[1:])
-        volp = make_group_runner(g)(
-            volp,
-            stack(g["tx"]), stack(g["ty"]), stack(g["tz"]), stack(g["tc"]),
-            stack(jnp.take(k_invs_all, sel_dev, axis=0)),
-            stack(jnp.take(c_cams_all, sel_dev, axis=0)),
-        )
-        n_done += g["n_real"]
+        n_pad = len(g["sel"])
+        for s in range(0, n_pad, batch):
+            if not ckpt_done and n_done >= n_views // 2:
+                # Mid-run preemption drill: save the canonical volume,
+                # drop the live one, reload from disk, keep fusing. Every
+                # step (transpose round trip, D2H, npz, H2D) is value-
+                # preserving, so the final checksum must equal the
+                # straight run's bit for bit.
+                from cudadepthmapintegration_tpu.pipeline.checkpoint import (
+                    FusionCheckpoint,
+                    load_checkpoint,
+                    save_checkpoint,
+                )
+
+                t_c = time.time()
+                vol_c = np.asarray(
+                    jnp.transpose(volp[:, : g["cyp"], : g["cxp"]], g["inv"])
+                )
+                save_checkpoint(checkpoint_mid, FusionCheckpoint(
+                    volume=vol_c, views_fused=n_done, grid=grid,
+                    params=params))
+                del volp, vol_c
+                ck = load_checkpoint(checkpoint_mid)
+                assert ck.matches(grid, params), "checkpoint config drifted"
+                assert ck.views_fused == n_done
+                volp = jnp.transpose(jnp.asarray(ck.volume), g["order"])
+                if g["py"] or g["px"]:
+                    volp = jnp.pad(
+                        volp, ((0, 0), (0, g["py"]), (0, g["px"])))
+                ckpt_done = True
+                print(f"  checkpoint/resume drill at {n_done} views "
+                      f"({time.time() - t_c:.1f}s incl. D2H+H2D on the "
+                      f"~6 MB/s tunnel)", flush=True)
+            ids = sel_dev[s : s + batch]
+            depths = render_sphere_batch(
+                jnp.take(k_invs_all, ids, axis=0),
+                jnp.take(c_cams_all, ids, axis=0),
+                w, h,
+            )
+            # Duplicated pad views at the tail would double-count: zero them
+            # by feeding all-invalid depth maps instead.
+            n_real_here = max(0, min(batch, g["n_real"] - s))
+            if n_real_here < batch:
+                mask = (
+                    jnp.arange(batch) < n_real_here
+                )[:, None, None]
+                depths = jnp.where(mask, depths, -1.0)
+            volp = pallas_integrate(
+                volp,
+                jax.lax.dynamic_slice_in_dim(g["tx"], s, batch, 0),
+                jax.lax.dynamic_slice_in_dim(g["ty"], s, batch, 0),
+                jax.lax.dynamic_slice_in_dim(g["tz"], s, batch, 0),
+                jax.lax.dynamic_slice_in_dim(g["tc"], s, batch, 0),
+                depths,
+                params.thick, params.rho, params.eta, params.delta,
+                # Tuned round-2.5 defaults + per-group auto passes
+                # (docs/KERNEL.md); the rendered depths stay on device —
+                # rowsel3's plane split runs on-chip too
+                # (split_depth_planes jax path).
+                subtile_rows=64, mode=mode, window_rows=64,
+                rowsel_passes=g["n_k"],
+                z_block=int(os.environ.get("CAPSTONE_KZ", "1")),
+            )
+            n_done += n_real_here
         vol = jnp.transpose(volp[:, : g["cyp"], : g["cxp"]], g["inv"])
-        float(jnp.sum(vol[:1]))  # force (block_until_ready lies on axon)
+        vol.block_until_ready()
         rate = grid.num_cells * n_done / (time.time() - t0)
         print(f"  {n_done}/{n_views} views, {rate/1e9:.2f} G upd/s", flush=True)
 
