@@ -994,6 +994,40 @@ def _integrate_kernel_v2(
     # slices on the shipped default path).
     def kz_jt_body(kk, jt):
         for it in range(cx // 128):
+            if vb == 1 and kzn == 1 and not track_miss:
+                # Dead-unit early-out (round 4): subtile-views whose
+                # footprint misses the image entirely — frustum-partial
+                # views, close-ups, mapping scans — skip the whole
+                # gather/select/walk/RMW behind one any-reduction, the
+                # same vector-reduced pl.when the band-sweep kernels use
+                # (their measured win over this kernel on the off-map-
+                # heavy 640x480 probe geometry). Fully-live workloads
+                # (the bench orbit) pay only the reduction.
+                ui, vi, valid, zcam = _project_subtile(
+                    tx_ref, ty_ref, tz_ref, tc_ref, 0, view0, kk, jt, it,
+                    sj=sj, h=h, w=w,
+                )
+
+                @pl.when(jnp.any(valid))
+                def _(it=it, ui=ui, vi=vi, valid=valid, zcam=zcam):
+                    gp_planes = (
+                        tuple(depth_ref.at[0, i] for i in range(3))
+                        if split3
+                        else (depth_ref.at[0],)
+                    )
+                    d = _gather_pixels_multi(
+                        gp_planes, ui, vi, valid,
+                        hp=hp, wp=wp, wr=wr, n_wc=n_wc, n_k=n_k,
+                        sum_planes=split3, anchors=anchors,
+                    )[0]
+                    ok = valid & (d != -1.0)
+                    val = _ray_potential_vals(
+                        zcam, d, thick=thick, rho=rho, eta=eta, delta=delta
+                    )
+                    sl = (0, pl.ds(jt * sj, sj), pl.ds(it * 128, 128))
+                    out_ref[sl] += jnp.where(ok, val, 0.0)
+
+                continue
             acc = jnp.zeros((sj, 128), jnp.float32)
             for vv in range(vb):
                 view = view0 + vv
