@@ -927,6 +927,7 @@ def _integrate_kernel_v2(
     *refs,
     h, w, hp, wp, cy, cx, sj, wr, n_wc, n_k, thick, rho, eta, delta,
     split3=False, track_miss=False, hbm=False, anchors="exact",
+    skip_dead=False,
 ):
     """Row-select-matmul kernel (v2 fast path).
 
@@ -994,15 +995,16 @@ def _integrate_kernel_v2(
     # slices on the shipped default path).
     def kz_jt_body(kk, jt):
         for it in range(cx // 128):
-            if vb == 1 and kzn == 1 and not track_miss:
-                # Dead-unit early-out (round 4): subtile-views whose
-                # footprint misses the image entirely — frustum-partial
-                # views, close-ups, mapping scans — skip the whole
-                # gather/select/walk/RMW behind one any-reduction, the
-                # same vector-reduced pl.when the band-sweep kernels use
-                # (their measured win over this kernel on the off-map-
-                # heavy 640x480 probe geometry). Fully-live workloads
-                # (the bench orbit) pay only the reduction.
+            if skip_dead and vb == 1 and kzn == 1 and not track_miss:
+                # Dead-unit early-out (round 4, OPT-IN per group):
+                # subtile-views whose footprint misses the image entirely
+                # — frustum-partial views, close-ups, mapping scans —
+                # skip the whole gather/select/walk/RMW behind one
+                # any-reduction, the same vector-reduced pl.when the
+                # band-sweep kernels use. Measured: the predicated
+                # structure taxes LIVE units ~9%, so this variant is
+                # routed only when the sampled dead fraction clears
+                # SKIP_DEAD_FRAC (skip_dead='auto' in the plan).
                 ui, vi, valid, zcam = _project_subtile(
                     tx_ref, ty_ref, tz_ref, tc_ref, 0, view0, kk, jt, it,
                     sj=sj, h=h, w=w,
@@ -1250,7 +1252,7 @@ def split_depth_planes(depths):
 def _pallas_integrate_impl(
     volume, tx, ty, tz, tc, depths, *, h, w, sj, n_wr, n_wc,
     thick, rho, eta, delta, mode="windows", wr=32, n_k=2, vb=1, kz=1,
-    anchors="exact", band_anchors=None, n_bwin=0,
+    anchors="exact", band_anchors=None, n_bwin=0, skip_dead=False,
 ):
     cz, cy, cx = volume.shape
     split3 = mode in ("rowsel3", "rowsel3m", "rowsel3h", "rowsel3d",
@@ -1524,6 +1526,7 @@ def _pallas_integrate_impl(
             wr=min(wr, hp), n_wc=n_wc, n_k=n_k,
             thick=thick, rho=rho, eta=eta, delta=delta,
             split3=split3, track_miss=track_miss, anchors=anchors,
+            skip_dead=bool(skip_dead),
         )
     else:
         kernel = functools.partial(
@@ -1595,7 +1598,7 @@ _pallas_integrate_padded = functools.partial(
     jax.jit,
     static_argnames=("h", "w", "sj", "n_wr", "n_wc", "thick", "rho", "eta",
                      "delta", "mode", "wr", "n_k", "vb", "kz", "anchors",
-                     "n_bwin"),
+                     "n_bwin", "skip_dead"),
     donate_argnames=("volume",),
 )(_pallas_integrate_impl)
 
@@ -1605,7 +1608,7 @@ _pallas_integrate_padded_keep = functools.partial(
     jax.jit,
     static_argnames=("h", "w", "sj", "n_wr", "n_wc", "thick", "rho", "eta",
                      "delta", "mode", "wr", "n_k", "vb", "kz", "anchors",
-                     "n_bwin"),
+                     "n_bwin", "skip_dead"),
 )(_pallas_integrate_impl)
 
 
@@ -1642,6 +1645,7 @@ def pallas_integrate(
     view_block: int = 1,
     z_block: int = 1,
     anchors: str = "exact",
+    skip_dead: bool = False,
 ):
     """Fuse all views into `volume` (returns the updated volume).
 
@@ -1756,6 +1760,7 @@ def pallas_integrate(
         eta=float(eta), delta=float(delta),
         wr=int(window_rows), n_k=int(rowsel_passes),
         vb=int(view_block), kz=int(z_block), anchors=str(anchors),
+        skip_dead=bool(skip_dead),
     )
     if mode in ("rowselm", "rowsel3m"):
         out, miss = _pallas_integrate_padded_keep(
@@ -1828,6 +1833,16 @@ def pallas_integrate(
 ROWSEL_PASS_COST_PCT = 4.0
 ROWSEL_AUTO_K_RANGE = (2, 12)
 
+# Sampled fraction of fully-dead (no-valid-pixel) subtile-views above
+# which a group routes through the dead-unit-skipping kernel variant
+# (skip_dead='auto'). Measured model (v5e, 2026-08-20): the predicated
+# structure taxes LIVE units ~9% (512^3 bench 4.89 -> 4.45 G when every
+# unit is live) while a dead unit skips ~its whole cost, so breakeven is
+# ~9% dead; 0.12 keeps a safety margin. Off-map-heavy geometries
+# measured: 640x480 probe rig +7.5% (1.34 -> 1.44 G), 1024x768 +12%
+# (0.82 -> 0.92 G).
+SKIP_DEAD_FRAC = 0.12
+
 
 def _sample_group_spans(
     tx, ty, tz, tc, czp, cyp, cxp, h, w, sj, wr, n_wc,
@@ -1863,6 +1878,8 @@ def _sample_group_spans(
     wp = w + ((-w) % 128)
     n_wc = min(int(n_wc), wp // 128)
     n_valid = 0
+    n_units = 0
+    n_dead = 0
     spans, vlocs = [], []
     for vv in view_sel:
         for _ in range(samples_per_view):
@@ -1885,7 +1902,9 @@ def _sample_group_spans(
                 & (u >= 0) & (v >= 0) & (u < w) & (v < h)
             )
             nv = int(valid.sum())
+            n_units += 1
             if not nv:
+                n_dead += 1
                 continue
             n_valid += nv
             ui = np.where(valid, u, 0).astype(np.int64)
@@ -1907,9 +1926,10 @@ def _sample_group_spans(
                 (vi - v0)[in_u],
                 np.full(int(out_u.sum()), big, np.int64),
             ]))
+    dead_frac = n_dead / n_units if n_units else 0.0
     if not spans:
-        return 0, np.zeros(0, np.int64), np.zeros(0, np.int64)
-    return n_valid, np.concatenate(spans), np.concatenate(vlocs)
+        return 0, np.zeros(0, np.int64), np.zeros(0, np.int64), dead_frac
+    return n_valid, np.concatenate(spans), np.concatenate(vlocs), dead_frac
 
 
 def recommend_rowsel_passes(stats, wr: int) -> int:
@@ -1918,7 +1938,7 @@ def recommend_rowsel_passes(stats, wr: int) -> int:
     where ``miss%(k)`` counts pairs the k passes inside the wr-row window
     cannot serve. Reproduces the hardware-measured per-size optima of the
     bench rig (k6 @512^3, k8-10 @256^3, k4-6 @1024^3 — docs/KERNEL.md)."""
-    n_valid, span, vi_loc = stats
+    n_valid, span, vi_loc = stats[0], stats[1], stats[2]
     lo, hi = ROWSEL_AUTO_K_RANGE
     if n_valid == 0:
         return 6  # no geometry signal; shipping default
@@ -2150,7 +2170,7 @@ class OrientedFusionPlan:
         for gi in range(len(self.groups)):
             n_valid, span, vloc = self._span_stats(
                 gi, int(window_rows), n_wc
-            )
+            )[:3]
             if n_valid < min_samples:
                 continue
             servable = vloc < int(window_rows)
@@ -2162,7 +2182,8 @@ class OrientedFusionPlan:
         return out
 
     def _build_runner(self, windows, mode, window_rows, rowsel_passes,
-                      view_block, z_block, anchors, group_index=None):
+                      view_block, z_block, anchors, skip_dead=False,
+                      group_index=None):
         """One jitted chain over ALL groups: transpose -> pad -> kernel ->
         unpad -> inverse transpose per group, fused into a single dispatch
         (the round-1 plan issued ~4 eager dispatches per group per batch —
@@ -2232,6 +2253,20 @@ class OrientedFusionPlan:
         ]
         group_ks = self._group_passes(rowsel_passes, window_rows, n_wc)
         self.group_passes = list(group_ks)
+        # Per-group dead-unit-skip routing (v2 modes only): 'auto' turns
+        # the skipping kernel variant on for groups whose SAMPLED dead
+        # fraction clears SKIP_DEAD_FRAC (the measured breakeven of the
+        # predicated structure's ~9% live-unit tax); True/False force it.
+        if skip_dead == "auto" and mode in ("rowsel", "rowsel3",
+                                            "rowselm", "rowsel3m"):
+            group_skip = [
+                self._span_stats(gi, int(window_rows), n_wc)[3]
+                >= SKIP_DEAD_FRAC
+                for gi in range(len(self.groups))
+            ]
+        else:
+            group_skip = [bool(skip_dead is True)] * len(self.groups)
+        self.group_skip_dead = list(group_skip)
         if mode in ("rowselw", "rowsel3w"):
             # Host-plan each group's band windows from its STAGED kernel-
             # layout tables (concrete at build time). Each group gets its
@@ -2261,11 +2296,13 @@ class OrientedFusionPlan:
             metas = metas[gsel]
             group_ks = group_ks[gsel]
             group_nbw = group_nbw[gsel]
+            group_skip = group_skip[gsel]
 
         def chain(vol, staged_arrays):
             miss_total = jnp.float32(0)
-            for (order, inv, (py, px), cyp, cxp), arrs, n_k_g, nbw_g in zip(
-                metas, staged_arrays, group_ks, group_nbw
+            for (order, inv, (py, px), cyp, cxp), arrs, n_k_g, nbw_g, \
+                    skip_g in zip(
+                metas, staged_arrays, group_ks, group_nbw, group_skip
             ):
                 tx, ty, tz, tc, depths = arrs[:5]
                 an_g = arrs[5] if len(arrs) > 5 else None
@@ -2279,7 +2316,7 @@ class OrientedFusionPlan:
                     eta=float(p.eta), delta=float(p.delta),
                     mode=mode, wr=min(window_rows, hp), n_k=n_k_g,
                     vb=view_block, kz=z_block, anchors=anchors,
-                    band_anchors=an_g, n_bwin=nbw_g,
+                    band_anchors=an_g, n_bwin=nbw_g, skip_dead=skip_g,
                 )
                 if track_miss:
                     out, miss = out
@@ -2304,6 +2341,7 @@ class OrientedFusionPlan:
         anchors: str = "exact",
         per_group_redispatch: bool = False,
         fast_groups: bool | str = False,
+        skip_dead: bool | str = "auto",
     ):
         """Fuse the planned views into (cz, cy, cx) `volume_zyx`.
 
@@ -2332,7 +2370,16 @@ class OrientedFusionPlan:
         kernel as an automatic per-group fallback on any actual miss.
         Groups with expected remainder work stay on the inline kernel.
         Output is bit-identical in all branches; worst case (the sample
-        lied) pays one wasted fast pass for that group only."""
+        lied) pays one wasted fast pass for that group only.
+
+        skip_dead='auto' (default): groups whose sampled fraction of
+        fully-dead subtile-views (no valid pixel — frustum-partial
+        views, close-ups) clears SKIP_DEAD_FRAC route through the
+        dead-unit-skipping kernel variant (one any-reduction guards the
+        whole unit); fully-live groups keep the unpredicated kernel
+        (the predicated structure taxes live units ~9%, measured).
+        Bit-identical either way; chosen flags in
+        ``self.group_skip_dead``."""
 
         def get_runner(key, group_index=None):
             full_key = key + (group_index,)
@@ -2347,6 +2394,7 @@ class OrientedFusionPlan:
             tuple(windows), mode, int(window_rows),
             rowsel_passes if rowsel_passes == "auto" else int(rowsel_passes),
             int(view_block), int(z_block), str(anchors),
+            skip_dead if skip_dead == "auto" else bool(skip_dead),
         )
         vol = jnp.asarray(volume_zyx, jnp.float32)
         # Reset per run: stale per-group miss counts from a previous call
@@ -2435,6 +2483,7 @@ def integrate_views_oriented(
     view_block: int = 1,
     z_block: int = 1,
     anchors: str = "exact",
+    skip_dead: bool | str = "auto",
 ):
     """High-level Pallas fusion: orientation-grouped, per-subtile adaptive.
     ``rowsel_passes='auto'`` picks per-orientation-group pass counts (see
@@ -2453,4 +2502,5 @@ def integrate_views_oriented(
         volume_zyx, windows=windows, mode=mode,
         window_rows=window_rows, rowsel_passes=rowsel_passes,
         view_block=view_block, z_block=z_block, anchors=anchors,
+        skip_dead=skip_dead,
     )

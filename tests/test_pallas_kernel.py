@@ -876,7 +876,53 @@ def test_wide_u_span_group_not_statically_covered():
     assert covered == [], (
         "wide-u group must stay on the inline kernel, got %r" % covered
     )
-    n_valid, span, vloc = plan._span_stats(0, 32, 2)
+    n_valid, span, vloc = plan._span_stats(0, 32, 2)[:3]
     assert n_valid >= 100 and (vloc >= 32).any(), (
         "sampler should see out-of-window pairs as unservable"
+    )
+
+
+def test_skip_dead_variants_bit_identical_and_auto_routes():
+    """The dead-unit-skipping kernel variant must be bit-identical to the
+    unpredicated kernel (skipping a unit with no valid pixel only removes
+    a += 0.0), and skip_dead='auto' must route per group: a close-up rig
+    (most of the grid outside the frustum) clears SKIP_DEAD_FRAC, a
+    grid-filling orbit does not."""
+    from cudadepthmapintegration_tpu.kernels.integrate_pallas import (
+        OrientedFusionPlan,
+    )
+    from cudadepthmapintegration_tpu.testing import (
+        look_at_camera,
+        render_sphere_view,
+    )
+
+    grid = small_grid()
+    vol = np.zeros(grid.volume_shape, np.float32)
+
+    # Close-up rig: narrow view of one grid corner -> most units dead.
+    W, H = 144, 64
+    cams = [look_at_camera((3.0, 1.2, 1.2), (1.5, 1.5, 1.5), focal=200.0,
+                           width=W, height=H)]
+    views = [render_sphere_view(c, W, H, radius=1.0, background=-1.0)
+             for c in cams]
+    plan = OrientedFusionPlan(grid, views, PARAMS)
+    off = np.asarray(plan.run(vol, mode="rowsel3", skip_dead=False))
+    on = np.asarray(plan.run(vol, mode="rowsel3", skip_dead=True))
+    np.testing.assert_array_equal(on, off)
+    auto = np.asarray(plan.run(vol, mode="rowsel3", skip_dead="auto"))
+    np.testing.assert_array_equal(auto, off)
+    assert any(plan.group_skip_dead), (
+        f"close-up rig should route the skip variant "
+        f"(got {plan.group_skip_dead})"
+    )
+
+    # Grid-filling orbit: every sampled unit live -> auto keeps it off.
+    views2 = sphere_scene(n_views=3, width=144, height=64, focal=60.0)
+    plan2 = OrientedFusionPlan(grid, views2, PARAMS)
+    ref = np.asarray(plan2.run(vol, mode="rowsel", skip_dead=False))
+    got = np.asarray(plan2.run(vol, mode="rowsel", skip_dead="auto"))
+    np.testing.assert_array_equal(got, ref)
+    assert not any(plan2.group_skip_dead), (
+        f"orbit rig should keep the unpredicated kernel "
+        f"(got {plan2.group_skip_dead})"
     )
