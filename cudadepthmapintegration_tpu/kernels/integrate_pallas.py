@@ -1835,12 +1835,14 @@ ROWSEL_AUTO_K_RANGE = (2, 12)
 
 # Sampled fraction of fully-dead (no-valid-pixel) subtile-views above
 # which a group routes through the dead-unit-skipping kernel variant
-# (skip_dead='auto'). Measured model (v5e, 2026-08-20): the predicated
-# structure taxes LIVE units ~9% (512^3 bench 4.89 -> 4.45 G when every
-# unit is live) while a dead unit skips ~its whole cost, so breakeven is
-# ~9% dead; 0.12 keeps a safety margin. Off-map-heavy geometries
-# measured: 640x480 probe rig +7.5% (1.34 -> 1.44 G), 1024x768 +12%
-# (0.82 -> 0.92 G).
+# (skip_dead='auto'). Measured (v5e, 2026-08-20): the predicated
+# structure's cost is workload-shaped — it taxes the 512^3x32 bench ~9%
+# (4.89 -> 4.45 G, all units live) yet HELPS 640x480x8 on the same grid
+# (+7.5%) even at dead_frac 0 (an RMW-structure effect with no clean
+# host predictor; docs/KERNEL.md round-4 "dead-unit skip"). The auto
+# route is therefore conservative: only genuinely dead-heavy groups
+# (close-ups, frustum-partial rigs), where the first-order saving is
+# certain, clear the threshold.
 SKIP_DEAD_FRAC = 0.12
 
 
