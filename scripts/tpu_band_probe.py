@@ -173,6 +173,29 @@ def phase_hdk(grid):
               flush=True)
 
 
+def phase_hdw(grid):
+    """Column-window sweep at 1080p: the wc2 default came from the 512^2
+    coverage sweep (wc1->wc2 cut miss 34%->14%), but u-spans scale with
+    focal ~ 0.6*w — at 1920-wide the footprint spans ~2x the columns, so
+    a third/fourth column window may rescue pairs from the remainder
+    walk (the measured 1080p sink; pass counts are flat there)."""
+    w, h = 1920, 1080
+    cams = orbit_cameras(8, 4.0, focal=0.6 * w, width=w, image_height=h)
+    views = [render_sphere_view(c, w, h, radius=1.0, background=-1.0)
+             for c in cams]
+    plan = OrientedFusionPlan(grid, views, PARAMS, subtile_rows=64)
+    ref = None
+    for wc in (2, 3, 4):
+        t0 = time.time()
+        ref = _measure(
+            plan, grid, f"{w}x{h} rowselh wc{wc}", ref,
+            mode="rowselh", window_rows=64, rowsel_passes=6,
+            windows=(3, wc),
+        )
+        print(f"    [total incl compile: {time.time() - t0:.0f}s]",
+              flush=True)
+
+
 def phase_hd1024(_grid):
     """North-star grid with HD imagery: 1024^3 cells x 16 views of
     1920x1080 through the band-sweep (both plane layouts)."""
@@ -213,7 +236,8 @@ def main():
     grid = VoxelGrid(dims=(257,) * 3, origin=(-1.6,) * 3,
                      spacing=(3.2 / 256,) * 3)
     phases = {"cap": phase_cap, "dyn": phase_dyn, "hd1024": phase_hd1024,
-              "win": phase_win, "cap2": phase_cap2, "hdk": phase_hdk}
+              "win": phase_win, "cap2": phase_cap2, "hdk": phase_hdk,
+              "hdw": phase_hdw}
     want = [a for a in sys.argv[1:] if a in phases] or ["cap"]
     for name in want:
         phases[name](grid)
