@@ -277,6 +277,7 @@ class ShardedTSDFIntegrator:
         rowsel_passes: int = 2,
         z_block: int = 1,
         frustum_cull: bool = False,
+        skip_dead: bool = False,
     ):
         """Stage one view batch for spatially-sharded Pallas fusion:
         returns ``(jitted_step, device_args)`` — ONE donated shard_map
@@ -352,6 +353,14 @@ class ShardedTSDFIntegrator:
             windows=windows, subtile_rows=subtile_rows,
             mode=mode, window_rows=window_rows, rowsel_passes=rowsel_passes,
             z_block=z_block,
+            # Dead-unit-skipping kernel variant (docs/KERNEL.md round 4):
+            # static opt-in here (one uniform shard_map program, no host
+            # sampling inside the traced chain). Worth it when shards see
+            # frustum-PARTIAL views — close-up/walkthrough rigs, where the
+            # plain-plan auto lever measured +64% — and composes with
+            # frustum_cull (slab-level) by skipping at subtile level.
+            # Bit-identical either way.
+            skip_dead=bool(skip_dead),
         )
 
         # Group views over the two free-axis permutations: k=z fixed;

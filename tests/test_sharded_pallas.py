@@ -66,6 +66,21 @@ def test_sharded_pallas_hbm_band_sweep_identical():
         np.testing.assert_array_equal(a.result(), b.result())
 
 
+def test_sharded_pallas_skip_dead_identical():
+    """The dead-unit-skipping kernel variant composes with z-slab
+    sharding (a static flag, no host sync) and must be bit-identical —
+    z-slabs are exactly the frustum-partial regime the skip targets."""
+    views = sphere_scene(n_views=4, width=144, height=64, focal=60.0)
+    grid = VoxelGrid(dims=(17, 17, 17), origin=(-1.6,) * 3, spacing=(0.2,) * 3)
+    mesh = make_mesh(n_z=4)
+    a = ShardedTSDFIntegrator(grid, PARAMS, mesh, dtype=np.float32)
+    a.reset().integrate_pallas(views)
+    for mode in ("rowsel", "rowsel3"):
+        b = ShardedTSDFIntegrator(grid, PARAMS, mesh, dtype=np.float32)
+        b.reset().integrate_pallas(views, mode=mode, skip_dead=True)
+        np.testing.assert_array_equal(a.result(), b.result())
+
+
 def test_sharded_pallas_incremental():
     views = sphere_scene(n_views=4, width=144, height=64, focal=60.0)
     grid = VoxelGrid(dims=(17, 17, 17), origin=(-1.6,) * 3, spacing=(0.2,) * 3)
