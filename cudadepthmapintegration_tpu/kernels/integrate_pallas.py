@@ -2261,11 +2261,21 @@ class OrientedFusionPlan:
         # predicated structure's ~9% live-unit tax); True/False force it.
         if skip_dead == "auto" and mode in ("rowsel", "rowsel3",
                                             "rowselm", "rowsel3m"):
-            group_skip = [
-                self._span_stats(gi, int(window_rows), n_wc)[3]
-                >= SKIP_DEAD_FRAC
-                for gi in range(len(self.groups))
-            ]
+            # EFFECTIVE dead fraction = view-padding steps (dummy views
+            # are 100% dead, and the sampler only sees REAL views) plus
+            # the sampled in-view dead fraction. The round-4 view-count
+            # probe decoded exactly this: groups of 4 real + 4 pad views
+            # gain +25.7% from the skip, 25% pad gains ~+4.5%, unpadded
+            # groups lose ~9% — monotone in effective deadness
+            # (docs/KERNEL.md round-4 "dead-unit skip").
+            group_skip = []
+            for gi, g in enumerate(self.groups):
+                real = g["stat_tables"][0].shape[0]
+                padded = g["tx"].shape[0]
+                pad_frac = 1.0 - real / max(padded, 1)
+                sampled = self._span_stats(gi, int(window_rows), n_wc)[3]
+                eff = pad_frac + (1.0 - pad_frac) * sampled
+                group_skip.append(eff >= SKIP_DEAD_FRAC)
         else:
             group_skip = [bool(skip_dead is True)] * len(self.groups)
         self.group_skip_dead = list(group_skip)

@@ -916,13 +916,28 @@ def test_skip_dead_variants_bit_identical_and_auto_routes():
         f"(got {plan.group_skip_dead})"
     )
 
-    # Grid-filling orbit: every sampled unit live -> auto keeps it off.
-    views2 = sphere_scene(n_views=3, width=144, height=64, focal=60.0)
+    # Grid-filling orbit with UNPADDED groups (16 views -> two full
+    # groups of 8): every view step live -> auto keeps the skip off.
+    # (A 3-view scene pads its groups with dummy views, whose steps are
+    # 100% dead — the effective-deadness rule routes those True, which
+    # the view-count probe measured as a +25.7% win at 50% padding.)
+    views2 = sphere_scene(n_views=16, width=144, height=64, focal=60.0)
     plan2 = OrientedFusionPlan(grid, views2, PARAMS)
     ref = np.asarray(plan2.run(vol, mode="rowsel", skip_dead=False))
     got = np.asarray(plan2.run(vol, mode="rowsel", skip_dead="auto"))
     np.testing.assert_array_equal(got, ref)
     assert not any(plan2.group_skip_dead), (
-        f"orbit rig should keep the unpredicated kernel "
+        f"unpadded live orbit should keep the unpredicated kernel "
         f"(got {plan2.group_skip_dead})"
+    )
+
+    # Padded tiny rig: dummy-view steps dominate -> auto routes the skip.
+    views3 = sphere_scene(n_views=3, width=144, height=64, focal=60.0)
+    plan3 = OrientedFusionPlan(grid, views3, PARAMS)
+    ref3 = np.asarray(plan3.run(vol, mode="rowsel", skip_dead=False))
+    got3 = np.asarray(plan3.run(vol, mode="rowsel", skip_dead="auto"))
+    np.testing.assert_array_equal(got3, ref3)
+    assert any(plan3.group_skip_dead), (
+        f"view-padded groups should route the skip "
+        f"(got {plan3.group_skip_dead})"
     )
