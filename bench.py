@@ -550,8 +550,13 @@ def main():
         RESULT["truncated"] = truncated
         _log(f"deadline {DEADLINE_S:.0f}s hit — truncated: {truncated}")
 
-    ok = all(gates.values()) and RESULT["value"] > 0
-    return emit(0 if ok else 1)
+    # Truncation means gates in the dropped phases never ran: that is NOT a
+    # clean pass — exit 3 so a driver keying on rc can tell "all gates
+    # verified" (0) from "headline landed but gates unverified" (3).
+    clean = all(gates.values()) and RESULT["value"] > 0
+    if clean and truncated:
+        return emit(3)
+    return emit(0 if clean else 1)
 
 
 if __name__ == "__main__":

@@ -1709,14 +1709,21 @@ def pallas_integrate(
         "rowsel", "rowsel3", "rowselm", "rowsel3m", "rowselh", "rowsel3h",
         "rowseld", "rowsel3d", "rowselw", "rowsel3w"
     )
-    if mode in ("rowselw", "rowsel3w") and any(
+    traced = any(
         isinstance(a, jax.core.Tracer)
-        for a in (volume, tables_tx, tables_ty, tables_tz, tables_tc)
-    ):
+        for a in (volume, tables_tx, tables_ty, tables_tz, tables_tc, depths)
+    )
+    if traced and mode in ("rowselw", "rowsel3w"):
         # Window planning is a host computation (the window length is a
         # static grid extent); under tracing fall back to the plain
         # band-sweep — bit-identical, just without the window skip.
         mode = "rowselh" if mode == "rowselw" else "rowsel3h"
+    elif traced and mode in ("rowselm", "rowsel3m", "rowseld", "rowsel3d"):
+        # The miss-count failover needs a concrete int(miss) host sync, so
+        # any traced input routes to the matching always-exact mode
+        # (bit-identical; a jitted caller just loses the fast-path gamble).
+        mode = {"rowselm": "rowsel", "rowsel3m": "rowsel3",
+                "rowseld": "rowselh", "rowsel3d": "rowsel3h"}[mode]
     if mode in ("rowselh", "rowsel3h", "rowselw", "rowsel3w"):
         # Band-sweep staging: pad the map height to a band multiple.
         bv = _hbm_band_rows(

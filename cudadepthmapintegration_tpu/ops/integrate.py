@@ -172,9 +172,30 @@ class TSDFIntegrator:
         view_batch: int = 8,
         device=None,
         backend: str = "xla",
+        group_fill: int | None = None,
     ):
         """backend: 'xla' (portable, any dtype) or 'pallas' (TPU kernel,
-        float32; ~13x faster on v5e — see kernels/integrate_pallas.py)."""
+        float32; ~13x faster on v5e — see kernels/integrate_pallas.py).
+
+        group_fill (pallas backend only): cross-batch orientation-group
+        filling. Incoming views are buffered PER ORIENTATION GROUP across
+        ``integrate`` calls and the kernel runs only on chunks of exactly
+        `group_fill` real views (leftovers flush, padded, at ``result``).
+        Without it, every streamed batch pads each of its orientation
+        groups to a multiple of 8 with dummy views whose kernel steps are
+        100% dead — the decoded -26% of the CLI viewBatch=8 regime
+        (docs/KERNEL.md round-4 "dead-unit skip"). The reference has no
+        analogous waste only because its unit is a single view
+        (``CudaReconstruction.cu:302-386``). Default (None): 32 for the
+        pallas backend (the device-resident bench regime's group size);
+        0 disables buffering (one plan per ``integrate`` call, the
+        round-4 behavior). Buffering reorders view summation exactly as
+        per-batch orientation grouping already does; within one group the
+        chunked kernel calls are BIT-IDENTICAL to a single call over the
+        same views (the kernel accumulates into the volume block
+        sequentially per view — pinned by
+        tests/test_group_fill.py::test_chunked_group_calls_bit_identical).
+        """
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         if backend == "pallas" and np.dtype(dtype) != np.float32:
@@ -185,12 +206,19 @@ class TSDFIntegrator:
         self.view_batch = int(view_batch)
         self.device = device
         self.backend = backend
+        if group_fill is None:
+            group_fill = 32 if backend == "pallas" else 0
+        if group_fill and group_fill % 8:
+            raise ValueError("group_fill must be a multiple of 8 (or 0)")
+        self.group_fill = int(group_fill) if backend == "pallas" else 0
         self.volume = None  # lazily initialized device array (cz, cy, cx)
         self.views_fused = 0
         # True volume read+write sweeps performed (for --metrics roofline):
         # the xla backend sweeps once per view_batch chunk; the pallas
         # backend once per orientation group per batch.
         self.volume_sweeps = 0
+        # Per-orientation-group pending-view buffers (group_fill > 0).
+        self._pending: dict[tuple[int, int, int], list[DepthMapView]] = {}
 
     def reset(self, initial: np.ndarray | None = None):
         vol = (
@@ -201,6 +229,7 @@ class TSDFIntegrator:
         self.volume = jax.device_put(vol, self.device)
         self.views_fused = 0
         self.volume_sweeps = 0
+        self._pending = {}
         return self
 
     def integrate(
@@ -223,29 +252,27 @@ class TSDFIntegrator:
                     f"expected {(h, w)}"
                 )
         if self.backend == "pallas":
-            from ..kernels.integrate_pallas import OrientedFusionPlan
+            if self.group_fill:
+                from ..kernels.integrate_pallas import best_axis_permutation
 
-            # Production kernel config (measured optima, docs/KERNEL.md):
-            # 64-row subtiles + rowsel3 split-plane selects + wr64 window,
-            # per-group adaptive pass counts, and the tracked no-remainder
-            # fast path for statically-covered groups (e.g. mapping scans;
-            # exact fallback keeps results bit-identical). Small grids
-            # keep 16-row subtiles: sj64 would pad a 16-cell axis 4x.
-            sj = 64 if min(self.grid.volume_shape) >= 64 else 16
-            plan = OrientedFusionPlan(
-                self.grid, views, self.params, subtile_rows=sj
-            )
-            self.volume = plan.run(
-                self.volume, mode="rowsel3", window_rows=64,
-                rowsel_passes="auto", fast_groups="auto",
-            )
+                for v in views:
+                    rot = (v.camera.rt @ self.grid.matrix)[:3, :3]
+                    self._pending.setdefault(
+                        best_axis_permutation(rot), []
+                    ).append(v)
+                self.views_fused += len(views)
+                # Flush every full chunk; deterministic group order.
+                for perm in sorted(self._pending):
+                    buf = self._pending[perm]
+                    while len(buf) >= self.group_fill:
+                        chunk = buf[: self.group_fill]
+                        self._pending[perm] = buf = buf[self.group_fill:]
+                        self._fuse_pallas(chunk)
+                    if not buf:
+                        del self._pending[perm]
+                return self
+            self._fuse_pallas(views)
             self.views_fused += len(views)
-            # One volume RMW per orientation group, plus one more for each
-            # fast-routed group whose sample lied (tracked sweep + exact
-            # re-run; plan.last_group_miss is -1 for inline groups).
-            self.volume_sweeps += len(plan.groups) + sum(
-                1 for m in getattr(plan, "last_group_miss", []) if m > 0
-            )
             return self
         tables = projection_tables(self.grid, views, np.dtype(self.dtype))
         depths = np.stack([v.depth for v in views]).astype(self.dtype)
@@ -264,8 +291,48 @@ class TSDFIntegrator:
         self.volume_sweeps += -(-len(views) // vb)
         return self
 
+    def _fuse_pallas(self, views: list[DepthMapView]) -> None:
+        """Run one OrientedFusionPlan over `views` into the held volume."""
+        from ..kernels.integrate_pallas import OrientedFusionPlan
+
+        # Production kernel config (measured optima, docs/KERNEL.md):
+        # 64-row subtiles + rowsel3 split-plane selects + wr64 window,
+        # per-group adaptive pass counts, and the tracked no-remainder
+        # fast path for statically-covered groups (e.g. mapping scans;
+        # exact fallback keeps results bit-identical). Small grids
+        # keep 16-row subtiles: sj64 would pad a 16-cell axis 4x.
+        sj = 64 if min(self.grid.volume_shape) >= 64 else 16
+        plan = OrientedFusionPlan(
+            self.grid, views, self.params, subtile_rows=sj
+        )
+        self.volume = plan.run(
+            self.volume, mode="rowsel3", window_rows=64,
+            rowsel_passes="auto", fast_groups="auto",
+        )
+        # One volume RMW per orientation group, plus one more for each
+        # fast-routed group whose sample lied (tracked sweep + exact
+        # re-run; plan.last_group_miss is -1 for inline groups).
+        self.volume_sweeps += len(plan.groups) + sum(
+            1 for m in getattr(plan, "last_group_miss", []) if m > 0
+        )
+
+    def flush(self):
+        """Fuse any buffered partial orientation groups (group_fill mode).
+        Called automatically by ``result``; the leftover chunks pad to a
+        multiple of 8 exactly as the round-4 per-batch path did, but at
+        most ONCE per group per run instead of once per stream batch."""
+        if self._pending:
+            pending, self._pending = self._pending, {}
+            # One plan over all leftovers: OrientedFusionPlan regroups them
+            # and runs groups in the same sorted-perm order.
+            leftover = [v for perm in sorted(pending) for v in pending[perm]]
+            if leftover:
+                self._fuse_pallas(leftover)
+        return self
+
     def result(self) -> np.ndarray:
         """Fetch the fused (cz, cy, cx) volume to host."""
         if self.volume is None:
             self.reset()
+        self.flush()
         return np.asarray(jax.device_get(self.volume))
