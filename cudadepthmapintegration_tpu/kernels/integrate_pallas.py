@@ -2053,7 +2053,26 @@ class OrientedFusionPlan:
         threshold_best_cost: float | None = None,
         view_pad_multiple: int = 8,
         subtile_rows: int = 16,
+        transpose_maps: bool = False,
     ):
+        """transpose_maps: serve every depth map TRANSPOSED (an h x w map
+        becomes w x h), by swapping the u/v rows of the projection tables
+        and transposing the staged depth arrays. The kernel then gathers
+        depth.T[v', u'] with (u', v') = (v, u) — the same pixel value,
+        same validity mask, same camera-z — so the math is exact by
+        construction (the XLA integrator is BIT-identical under this
+        transform); only the kernel's band/lane geometry changes (bands
+        then cut the long image axis, e.g. 1080 lanes x 1920 band rows
+        for HD). Orientation grouping scores the transposed u direction
+        (rotation row 1), so the chosen axis permutation usually changes —
+        and with it the LAYOUT-order association of the separable sum
+        ``t_k + t_j + t_i + tc``, the same ±1-ulp fp regrouping as axis
+        relabeling (docs/PARITY.md round-3 section). Expect ulp-level
+        value differences in the linear-ramp region and half-pixel
+        rounding flips on knife-edge lattices, identical to switching
+        `shard_axis`; gated vs the fp64 oracle like every other config.
+        A structural lever for wide maps whose in-layout knobs measured
+        flat (docs/KERNEL.md round-4 HD floor)."""
         from ..ops.integrate import projection_tables
 
         if threshold_best_cost is not None:
@@ -2077,10 +2096,23 @@ class OrientedFusionPlan:
         # re-dispatches the rowsel3 runner.
         self._staged_cache: dict = {}
         tables = projection_tables(grid, views, np.float32)
-        axis_tables = {0: tables.tx, 1: tables.ty, 2: tables.tz}
         rots = [(v.camera.rt @ grid.matrix)[:3, :3] for v in views]
-        groups = group_views_by_orientation(rots)
         depths_all = np.stack([v.depth for v in views]).astype(np.float32)
+        if transpose_maps:
+            # Swap the u/v functional rows (0 <-> 1) of every table,
+            # transpose the depth maps, swap the map dims, and score
+            # orientation on the swapped rotation (image-u is now the old
+            # image-v direction, rotation row 1).
+            swap = np.array([1, 0, 2, 3])
+            tables = type(tables)(
+                tx=tables.tx[:, swap], ty=tables.ty[:, swap],
+                tz=tables.tz[:, swap], tc=tables.tc[:, swap],
+            )
+            depths_all = np.ascontiguousarray(depths_all.transpose(0, 2, 1))
+            self._h, self._w = self._w, self._h
+            rots = [r[np.array([1, 0, 2])] for r in rots]
+        axis_tables = {0: tables.tx, 1: tables.ty, 2: tables.tz}
+        groups = group_views_by_orientation(rots)
 
         cz, cy, cx = grid.volume_shape
         self.groups = []

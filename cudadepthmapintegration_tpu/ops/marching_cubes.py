@@ -230,9 +230,17 @@ def marching_cubes(
         return finish(verts.reshape(-1, 3), keys.reshape(-1), pv_np)
     pv = jnp.asarray(point_volume)
     nz, ny, nx = pv.shape
-    cfg = np.asarray(_cube_config(pv, jnp.asarray(iso, pv.dtype)))
-    kk, jj, ii = np.nonzero((cfg != 0) & (cfg != 255))
-    n_active = kk.shape[0]
+    # Phase 1 (DEVICE compaction, round 5): both compaction steps run on
+    # device so only two scalars (the active-cell and triangle-slot
+    # counts) and the compacted soup cross to the host. The round-2..4
+    # path downloaded the full (nz-1)^3 config volume and the PADDED
+    # (A, 15, 3) vertex block for host-side np.nonzero — 133 MB + ~90 MB
+    # at 512^3, tunnel-bound on this rig and pointless HBM->host traffic
+    # anywhere. jnp.nonzero(size=...) keeps C-order, so cell and triangle
+    # order — and therefore the welded mesh — are unchanged bit for bit.
+    cfg_dev = _cube_config(pv, jnp.asarray(iso, pv.dtype))
+    active = ((cfg_dev != 0) & (cfg_dev != 255)).reshape(-1)
+    n_active = int(active.sum())
     if n_active == 0:
         if _return_soup:
             return np.zeros((0, 3)), np.zeros((0,), np.int64)
@@ -245,18 +253,22 @@ def marching_cubes(
         return empty
 
     pad = _pad_to(n_active)
-    cell_idx = np.zeros((pad, 3), dtype=np.int32)
-    cell_idx[:n_active, 0] = kk
-    cell_idx[:n_active, 1] = jj
-    cell_idx[:n_active, 2] = ii
-    cfg_active = np.zeros((pad,), dtype=np.int32)
-    cfg_active[:n_active] = cfg[kk, jj, ii]
+    flat_idx = jnp.nonzero(active, size=pad, fill_value=0)[0]
+    ncx, ncy = nx - 1, ny - 1
+    cell_idx = jnp.stack(
+        [flat_idx // (ncy * ncx), (flat_idx // ncx) % ncy, flat_idx % ncx],
+        axis=1,
+    ).astype(jnp.int32)
+    # Padding slots replay cell 0 but with cfg forced to 0 (no triangles).
+    cfg_active = jnp.where(
+        jnp.arange(pad) < n_active, jnp.take(cfg_dev.reshape(-1), flat_idx), 0
+    ).astype(jnp.int32)
 
     verts, keys, valid = _active_cell_triangles(
         pv.reshape(-1),
         jnp.asarray(iso, pv.dtype),
-        jnp.asarray(cell_idx),
-        jnp.asarray(cfg_active),
+        cell_idx,
+        cfg_active,
         jnp.asarray(xs, pv.dtype),
         jnp.asarray(ys, pv.dtype),
         jnp.asarray(zs, pv.dtype),
@@ -264,18 +276,22 @@ def marching_cubes(
         ny=int(ny),
         nz=int(nz),
     )
-    verts = np.asarray(verts)[:n_active]
-    keys = np.asarray(keys)[:n_active]
-    valid = np.asarray(valid)[:n_active]
-
-    flat_keys = keys.reshape(-1)
-    flat_verts = verts.reshape(-1, 3)
-    flat_valid = valid.reshape(-1)
+    # Phase 2 (device soup compaction): keep only emitted triangle slots.
+    valid_flat = valid.reshape(-1)
+    n_soup = int(valid_flat.sum())
+    if n_soup == 0:
+        flat_verts = np.zeros((0, 3), np.asarray(verts).dtype)
+        flat_keys = np.zeros((0,), np.asarray(keys).dtype)
+    else:
+        pad2 = _pad_to(n_soup)
+        soup_idx = jnp.nonzero(valid_flat, size=pad2, fill_value=0)[0]
+        flat_verts = np.asarray(
+            jnp.take(verts.reshape(-1, 3), soup_idx, axis=0)
+        )[:n_soup]
+        flat_keys = np.asarray(jnp.take(keys.reshape(-1), soup_idx))[:n_soup]
     if _return_soup:
-        return flat_verts[flat_valid], flat_keys[flat_valid]
-    return finish(
-        flat_verts[flat_valid], flat_keys[flat_valid], np.asarray(pv)
-    )
+        return flat_verts, flat_keys
+    return finish(flat_verts, flat_keys, np.asarray(pv))
 
 
 def extract_isosurface(

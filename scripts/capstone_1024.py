@@ -21,6 +21,14 @@ crashed or restarted", twice, 2 runs). The eager per-batch loop stands;
 on a production TPU VM the per-dispatch RTT is negligible, so the rig
 tax is a tunnel artifact, not a framework property.
 
+Round 5 (VERDICT r4 item 1): CAPSTONE_CHUNK=c jits c consecutive
+render+integrate batches into ONE donated dispatch (an unrolled chain
+over a traced chunk index into pre-stacked per-group camera/table
+arrays), sitting between the safe eager loop (c=1, the default) and the
+worker-crashing whole-group loop (c=n_batches). Tail batches that don't
+fill a chunk run the eager path. Used to bisect the per-dispatch
+device-time budget the worker tolerates; results in docs/SCALING.md.
+
 Round-4 additions (VERDICT r3 item 5): per-orientation-group adaptive
 pass counts (CAPSTONE_K=auto, the production default — same sampled-span
 machinery as OrientedFusionPlan); an HD phase (1920x1080 maps through the
@@ -178,13 +186,71 @@ def fuse(n_views, dims, w=512, h=512, mode="rowsel3", checkpoint_mid=None,
     t0 = time.time()
     n_done = 0
     ckpt_done = checkpoint_mid is None
+    # CAPSTONE_CHUNK=c: jit c render+integrate batches per dispatch (the
+    # middle ground between the eager loop and the worker-crashing
+    # whole-group loop). Tail batches and checkpoint-drill runs go eager.
+    chunk_n = int(os.environ.get("CAPSTONE_CHUNK", "1"))
+    if checkpoint_mid is not None:
+        chunk_n = 1
     for g in staged:
         volp = jnp.transpose(vol, g["order"])
         if g["py"] or g["px"]:
             volp = jnp.pad(volp, ((0, 0), (0, g["py"]), (0, g["px"])))
         sel_dev = jnp.asarray(g["sel"], jnp.int32)
         n_pad = len(g["sel"])
-        for s in range(0, n_pad, batch):
+        s_start = 0
+        n_steps = n_pad // batch
+        n_chunks = n_steps // chunk_n if chunk_n > 1 else 0
+        if n_chunks:
+            # Pre-stack per-step cameras/tables/masks; one jitted chain
+            # per group (traced chunk index -> one compile, n_chunks
+            # dispatches of chunk_n batches each).
+            kinvs_g = jnp.take(k_invs_all, sel_dev, axis=0).reshape(
+                n_steps, batch, 3, 3)
+            ccams_g = jnp.take(c_cams_all, sel_dev, axis=0).reshape(
+                n_steps, batch, 3)
+            masks = np.zeros((n_steps, batch, 1, 1), bool)
+            for si in range(n_steps):
+                nr = max(0, min(batch, g["n_real"] - si * batch))
+                masks[si, :nr] = True
+            masks_g = jnp.asarray(masks)
+            shape4 = lambda a: a.reshape(n_steps, batch, 4, a.shape[-1])
+            txs, tys, tzs, tcs = (shape4(g["tx"]), shape4(g["ty"]),
+                                  shape4(g["tz"]),
+                                  g["tc"].reshape(n_steps, batch, 4))
+            n_k_g = g["n_k"]
+            kz_g = int(os.environ.get("CAPSTONE_KZ", "1"))
+            idx = functools.partial(
+                jax.lax.dynamic_index_in_dim, axis=0, keepdims=False)
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def run_chunk(volp, ci, txs=txs, tys=tys, tzs=tzs, tcs=tcs,
+                          kinvs=kinvs_g, ccams=ccams_g, msk=masks_g,
+                          n_k_g=n_k_g, kz_g=kz_g):
+                for j in range(chunk_n):
+                    si = ci * chunk_n + j
+                    depths = render_sphere_batch(
+                        idx(kinvs, si), idx(ccams, si), w, h)
+                    depths = jnp.where(idx(msk, si), depths, -1.0)
+                    volp = pallas_integrate(
+                        volp, idx(txs, si), idx(tys, si), idx(tzs, si),
+                        idx(tcs, si), depths,
+                        params.thick, params.rho, params.eta, params.delta,
+                        subtile_rows=64, mode=mode, window_rows=64,
+                        rowsel_passes=n_k_g, z_block=kz_g,
+                    )
+                return volp
+
+            t_ch = time.time()
+            for ci in range(n_chunks):
+                volp = run_chunk(volp, ci)
+                n_done += int(
+                    masks[ci * chunk_n:(ci + 1) * chunk_n, :, 0, 0].sum())
+            s_start = n_chunks * chunk_n * batch
+            volp.block_until_ready()
+            print(f"  chunked phase: {n_chunks} x {chunk_n}-batch "
+                  f"dispatches in {time.time() - t_ch:.1f}s", flush=True)
+        for s in range(s_start, n_pad, batch):
             if not ckpt_done and n_done >= n_views // 2:
                 # Mid-run preemption drill: save the canonical volume,
                 # drop the live one, reload from disk, keep fusing. Every

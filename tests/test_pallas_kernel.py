@@ -941,3 +941,68 @@ def test_skip_dead_variants_bit_identical_and_auto_routes():
         f"view-padded groups should route the skip "
         f"(got {plan3.group_skip_dead})"
     )
+
+
+def test_transpose_maps_exact():
+    """transpose_maps serves depth maps transposed (u/v table rows swapped,
+    arrays transposed). The transform itself is exact: the XLA integrator
+    is BIT-identical under it (pinned below). The Pallas plan changes the
+    chosen axis permutation with it, which regroups the layout-order
+    separable sum — the documented ±1-ulp relabeling effect (docs/PARITY.md
+    round-3 section) — so the kernel gates at ulp tolerance vs the
+    untransposed plan and at the standard tolerance vs the fp64 oracle."""
+    from cudadepthmapintegration_tpu.ops.integrate import (
+        _integrate_batched,
+        projection_tables,
+    )
+    from cudadepthmapintegration_tpu.testing import look_at_camera, render_sphere_view
+
+    import jax.numpy as jnp
+
+    grid = VoxelGrid(dims=(17, 17, 17), origin=(-1.63, -1.61, -1.59),
+                     spacing=(0.2, 0.2, 0.2))
+    vol = np.zeros(grid.volume_shape, np.float32)
+
+    rng = np.random.default_rng(5)
+    same = []
+    for _ in range(4):
+        eye = (float(rng.uniform(-0.4, 0.4)), -4.0, float(rng.uniform(-0.4, 0.4)))
+        cam = look_at_camera(eye, (0, 0, 0), focal=55.0, width=144, height=64)
+        same.append(render_sphere_view(cam, 144, 64))
+
+    # 1) The transform is exact: XLA integrator, same association order on
+    # both sides -> bit-identical.
+    t = projection_tables(grid, same, np.float32)
+    depths = np.stack([v.depth for v in same]).astype(np.float32)
+    sw = np.array([1, 0, 2, 3])
+    kw = dict(view_batch=4, thick=PARAMS.thick, rho=PARAMS.rho,
+              eta=PARAMS.eta, delta=PARAMS.delta)
+    xa = np.asarray(_integrate_batched(
+        jnp.zeros(grid.volume_shape, jnp.float32),
+        *[jnp.asarray(x) for x in (t.tx, t.ty, t.tz, t.tc)],
+        jnp.asarray(depths), h=64, w=144, **kw,
+    ))
+    xb = np.asarray(_integrate_batched(
+        jnp.zeros(grid.volume_shape, jnp.float32),
+        *[jnp.asarray(x[:, sw]) for x in (t.tx, t.ty, t.tz, t.tc)],
+        jnp.asarray(np.ascontiguousarray(depths.transpose(0, 2, 1))),
+        h=144, w=64, **kw,
+    ))
+    np.testing.assert_array_equal(xb, xa)
+
+    # 2) Pallas plan: perm changes with the transpose -> ±ulp regrouping
+    # of the separable sum; values agree to fp32 regrouping tolerance.
+    a = np.asarray(KP.OrientedFusionPlan(grid, same, PARAMS).run(vol))
+    b = np.asarray(
+        KP.OrientedFusionPlan(grid, same, PARAMS, transpose_maps=True).run(vol)
+    )
+    np.testing.assert_allclose(b, a, atol=2e-5, rtol=0)
+    assert (b != a).mean() < 0.05  # regrouping touches isolated ramp voxels
+
+    # 3) Standard oracle gate on a mixed orbit.
+    views = sphere_scene(n_views=6, width=144, height=64, focal=60.0)
+    got = np.asarray(
+        KP.OrientedFusionPlan(grid, views, PARAMS, transpose_maps=True).run(vol)
+    )
+    exp = integrate_views_oracle(grid, views, PARAMS)
+    assert (np.abs(got - exp.astype(np.float32)) > 1e-3).mean() == 0.0
