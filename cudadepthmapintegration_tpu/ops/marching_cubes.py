@@ -213,7 +213,7 @@ def marching_cubes(
         from .normals import normals_for_edge_keys, transform_normals
 
         normals = normals_for_edge_keys(
-            pv_for_normals, xs, ys, zs, uniq, iso
+            np.asarray(pv_for_normals), xs, ys, zs, uniq, iso
         )
         if matrix is not None:
             normals = transform_normals(normals, matrix)
@@ -291,7 +291,10 @@ def marching_cubes(
         flat_keys = np.asarray(jnp.take(keys.reshape(-1), soup_idx))[:n_soup]
     if _return_soup:
         return flat_verts, flat_keys
-    return finish(flat_verts, flat_keys, np.asarray(pv))
+    # pv crosses to host inside finish() ONLY when normals are requested
+    # (the one remaining host-side stage); with compute_normals=False the
+    # volume never leaves the device.
+    return finish(flat_verts, flat_keys, pv)
 
 
 def extract_isosurface(
@@ -304,7 +307,7 @@ def extract_isosurface(
     (with gradient "Normals" — vtkContourFilter's ComputeNormals default),
     grid-matrix transform (``Reconstruction/main.cxx:150-189``)."""
     pv = cell_to_point(jnp.asarray(cell_volume))
-    xs, ys, zs = grid.point_axes(np.asarray(pv).dtype)
+    xs, ys, zs = grid.point_axes(pv.dtype)
     mesh = marching_cubes(
         pv, iso, xs, ys, zs, matrix=grid.matrix,
         compute_normals=compute_normals,

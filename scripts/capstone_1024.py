@@ -329,15 +329,19 @@ def fuse(n_views, dims, w=512, h=512, mode="rowsel3", checkpoint_mid=None,
         flush=True,
     )
     if mesh and not os.environ.get("CAPSTONE_SKIP_MESH"):
-        # Mesh a central crop (full-volume D2H is tunnel-bound on this rig).
+        # Mesh a central crop ON DEVICE (round 5: the MC compaction runs on
+        # chip, so only the compacted soup crosses the tunnel — the r4 path
+        # downloaded the 512^3 crop, ~537 MB at ~6 MB/s, before meshing).
+        # Normals stay off here: they are the one host-side stage and would
+        # re-download the crop (pipeline_e2e.py times them separately).
         c0 = (dims - 1) // 4
-        crop = np.asarray(vol[c0 : 3 * c0, c0 : 3 * c0, c0 : 3 * c0])
+        crop = vol[c0 : 3 * c0, c0 : 3 * c0, c0 : 3 * c0]
         sub = VoxelGrid(
             dims=(2 * c0 + 1,) * 3,
             origin=tuple(np.array(grid.origin) + c0 * np.array(grid.spacing)),
             spacing=grid.spacing,
         )
-        m = extract_isosurface(sub, crop, iso=1.0)
+        m = extract_isosurface(sub, crop, iso=1.0, compute_normals=False)
         r = np.linalg.norm(m.points, axis=1)
         print(
             f"central-crop mesh: {m.num_triangles} tris, "
