@@ -96,6 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Views fused per volume pass (default 8)")
     p.add_argument("--streamBatch", type=int, default=32,
                    help="Views staged per host->device transfer (default 32)")
+    p.add_argument("--groupFill", type=int, default=None,
+                   help="pallas backend: buffer views per orientation "
+                        "group across stream batches and fuse only full "
+                        "chunks of this many real views (multiple of 8; "
+                        "0 disables, default 32) — removes the dummy-view "
+                        "padding tax of small stream batches")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="Fault-tolerant fusion: checkpoint view-range units "
                         "to this file; re-running with the same path "
@@ -172,6 +178,7 @@ def main(argv: list[str] | None = None) -> int:
         backend=args.backend,
         view_batch=args.viewBatch,
         stream_batch=args.streamBatch,
+        group_fill=args.groupFill,
         write_mha_path=args.mhaPath or None,
         checkpoint_path=args.checkpoint,
     )

@@ -60,6 +60,9 @@ class ReconstructionConfig:
     backend: str = "xla"  # 'xla' or 'pallas' (TPU kernel fast path)
     view_batch: int = 8
     stream_batch: int = 32  # views loaded/staged per host->device transfer
+    # pallas backend: cross-batch orientation-group filling (None -> the
+    # integrator default, 32; 0 disables). See TSDFIntegrator.group_fill.
+    group_fill: int | None = None
     write_mha_path: str | None = "meta_image_volume.mha"
     # Fault-tolerant mode: fuse as retried, checkpointed view-range units
     # (pipeline/runner.py); re-running with the same path RESUMES. The
@@ -225,6 +228,7 @@ class ReconstructionPipeline:
                 dtype=np.dtype(cfg.dtype),
                 view_batch=cfg.view_batch,
                 backend=cfg.backend,
+                group_fill=cfg.group_fill,
             ).reset(initial)
 
         if cfg.checkpoint_path is not None:

@@ -109,3 +109,22 @@ def test_group_fill_validation():
 def test_group_fill_default_on_for_pallas():
     assert TSDFIntegrator(small_grid(), PARAMS, backend="pallas").group_fill == 32
     assert TSDFIntegrator(small_grid(), PARAMS).group_fill == 0
+
+
+def test_pipeline_config_passthrough():
+    from cudadepthmapintegration_tpu.pipeline.reconstruction import (
+        ReconstructionConfig,
+        ReconstructionPipeline,
+    )
+
+    cfg = ReconstructionConfig(
+        grid_dims=(9, 9, 9), grid_spacing=(0.4, 0.4, 0.4),
+        grid_origin=(-1.6, -1.6, -1.6), ray_thick=0.1,
+        backend="pallas", group_fill=8, write_mha_path=None,
+    )
+    pipe = ReconstructionPipeline(cfg)
+    views = sphere_scene(n_views=3, width=96, height=48, focal=50.0)
+    integ, _ = pipe.fuse(views)
+    assert integ.group_fill == 8
+    assert not integ._pending  # fuse() ends with result(): buffers flushed
+    assert integ.views_fused == 3
