@@ -2535,10 +2535,12 @@ def integrate_views_oriented(
     z_block: int = 1,
     anchors: str = "exact",
     skip_dead: bool | str = "auto",
+    transpose_maps: bool = False,
 ):
     """High-level Pallas fusion: orientation-grouped, per-subtile adaptive.
     ``rowsel_passes='auto'`` picks per-orientation-group pass counts (see
-    :meth:`OrientedFusionPlan.run`).
+    :meth:`OrientedFusionPlan.run`); ``transpose_maps`` serves the depth
+    maps transposed (see :class:`OrientedFusionPlan`).
 
     volume_zyx: (cz, cy, cx) array (canonical z, y, x layout, unpadded).
     Returns the updated (cz, cy, cx) jax array.
@@ -2548,6 +2550,7 @@ def integrate_views_oriented(
         threshold_best_cost=threshold_best_cost,
         view_pad_multiple=view_pad_multiple,
         subtile_rows=subtile_rows,
+        transpose_maps=transpose_maps,
     )
     return plan.run(
         volume_zyx, windows=windows, mode=mode,
