@@ -28,6 +28,9 @@ import time
 
 sys.path.insert(0, ".")
 
+import os as _os
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
+
 import jax.numpy as jnp
 import numpy as np
 
