@@ -140,6 +140,74 @@ def _pad_to(n: int, minimum: int = 512) -> int:
     return max(minimum, 1 << (n - 1).bit_length())
 
 
+@partial(jax.jit, static_argnames=("pad3",))
+def _weld_kernel(verts, keys, n_soup, pad3):
+    """Device welding core: sort keys, detect uniques, build the inverse
+    map and triangle validity. Padding slots (index >= n_soup) get a
+    sentinel key that sorts last and is excluded from the unique count.
+    Selection is bit-identical to np.unique-based host welding: uniques
+    ascending, duplicate vertices carry identical bits by construction."""
+    m = keys.shape[0]
+    big = jnp.iinfo(keys.dtype).max
+    keysw = jnp.where(jnp.arange(m) < n_soup, keys, big)
+    order = jnp.argsort(keysw)
+    sk = jnp.take(keysw, order)
+    sv = jnp.take(verts, order, axis=0)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
+    )
+    is_new = first & (sk != big)
+    inv_sorted = jnp.cumsum(is_new) - 1
+    # Host welding scatters duplicates in ORIGINAL order, so the LAST
+    # original occurrence of each key wins — duplicates can differ by one
+    # ulp (two cells interpolate the shared edge with opposite corner
+    # order). argsort is stable, so within a duplicate run the last
+    # element has the highest original index: select it, not the first.
+    is_last = jnp.concatenate(
+        [sk[1:] != sk[:-1], jnp.ones((1,), bool)]
+    ) & (sk != big)
+    uidx = jnp.nonzero(is_last, size=pad3, fill_value=0)[0]
+    uniq_keys = jnp.take(sk, uidx)
+    points = jnp.take(sv, uidx, axis=0)
+    inverse = jnp.zeros((m,), inv_sorted.dtype).at[order].set(inv_sorted)
+    # Padding makes m a power of two; only complete triples are real
+    # triangles (n_soup is a multiple of 3 by construction).
+    tri = inverse[: (m // 3) * 3].reshape(-1, 3)
+    tri_ok = (
+        (jnp.arange(tri.shape[0]) * 3 < n_soup)
+        & (tri[:, 0] != tri[:, 1])
+        & (tri[:, 1] != tri[:, 2])
+        & (tri[:, 0] != tri[:, 2])
+    )
+    return points, uniq_keys, tri, tri_ok, is_new.sum(), tri_ok.sum()
+
+
+@partial(jax.jit, static_argnames=("pad4",))
+def _tri_compact(tri, tri_ok, pad4):
+    tidx = jnp.nonzero(tri_ok, size=pad4, fill_value=0)[0]
+    return jnp.take(tri, tidx, axis=0)
+
+
+def weld_soup_device(verts_dev, keys_dev, n_soup):
+    """Weld a DEVICE-resident compacted triangle soup on device (round 5):
+    only the final mesh (unique points, triangle indices, unique keys)
+    crosses to the host — ~3x less transfer than downloading the soup,
+    and the only host work left is the float64 grid-matrix transform.
+    Returns (points f32 (V,3), triangles int (T,3), uniq_keys (V,)),
+    bit-identical to ``_weld_triangle_soup`` without a matrix."""
+    pad3 = _pad_to(n_soup)
+    points, uniq_keys, tri, tri_ok, n_uniq, n_tris = _weld_kernel(
+        verts_dev, keys_dev, n_soup, pad3
+    )
+    n_uniq, n_tris = int(n_uniq), int(n_tris)
+    tris = _tri_compact(tri, tri_ok, _pad_to(max(n_tris, 1)))
+    return (
+        np.asarray(points)[:n_uniq],
+        np.asarray(tris)[:n_tris].astype(np.int64),
+        np.asarray(uniq_keys)[:n_uniq],
+    )
+
+
 def _weld_triangle_soup(
     used_verts: np.ndarray,  # (M, 3) vertex positions, 3 per triangle
     used_keys: np.ndarray,  # (M,) canonical edge ids
@@ -153,7 +221,11 @@ def _weld_triangle_soup(
     keys (same order as ``points``) for gradient-normal computation."""
     uniq, inverse = np.unique(used_keys, return_inverse=True)
     points = np.zeros((uniq.shape[0], 3), dtype=used_verts.dtype)
-    points[inverse] = used_verts  # same key -> same position (exact math)
+    # Last write wins per key. Duplicates agree to 1 ulp (two cells
+    # interpolate the shared edge with opposite corner order), so the
+    # deterministic pick matters only for bit-level reproducibility —
+    # weld_soup_device selects the same occurrence.
+    points[inverse] = used_verts
     triangles = inverse.reshape(-1, 3).astype(np.int64)
     ok = (
         (triangles[:, 0] != triangles[:, 1])
@@ -178,6 +250,7 @@ def marching_cubes(
     backend: str = "auto",
     compute_normals: bool = False,
     _return_soup: bool = False,
+    weld_backend: str = "host",
 ) -> PolyData:
     """Extract the `iso` isosurface of a (nz, ny, nx) point-scalar volume.
 
@@ -198,6 +271,11 @@ def marching_cubes(
     ``(verts (M, 3), keys (M,))`` triangle soup with volume-local edge keys
     — for callers (sparse per-block / sharded slab extraction) that
     translate keys to a global domain and weld once at the end.
+
+    ``weld_backend`` ('jax' backend only): 'host' downloads the compacted
+    soup and welds with np.unique; 'device' welds on device
+    (:func:`weld_soup_device`) so only the final mesh crosses to the host
+    — bit-identical output (the float64 matrix transform stays on host).
     """
     if backend == "auto":
         from .. import native
@@ -279,6 +357,28 @@ def marching_cubes(
     # Phase 2 (device soup compaction): keep only emitted triangle slots.
     valid_flat = valid.reshape(-1)
     n_soup = int(valid_flat.sum())
+    if n_soup and weld_backend == "device" and not _return_soup:
+        pad2 = _pad_to(n_soup)
+        soup_idx = jnp.nonzero(valid_flat, size=pad2, fill_value=0)[0]
+        points, tris, uniq = weld_soup_device(
+            jnp.take(verts.reshape(-1, 3), soup_idx, axis=0),
+            jnp.take(keys.reshape(-1), soup_idx),
+            n_soup,
+        )
+        pts64 = points
+        if matrix is not None:
+            m64 = np.asarray(matrix, np.float64)
+            pts64 = points @ m64[:3, :3].T + m64[:3, 3]
+        mesh = PolyData(pts64, tris)
+        if compute_normals:
+            from .normals import normals_for_edge_keys, transform_normals
+
+            normals = normals_for_edge_keys(np.asarray(pv), xs, ys, zs,
+                                            uniq, iso)
+            if matrix is not None:
+                normals = transform_normals(normals, matrix)
+            mesh.point_data["Normals"] = normals
+        return mesh
     if n_soup == 0:
         flat_verts = np.zeros((0, 3), np.asarray(verts).dtype)
         flat_keys = np.zeros((0,), np.asarray(keys).dtype)

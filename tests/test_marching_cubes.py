@@ -135,3 +135,32 @@ def test_edge_corners_consistent_with_offsets():
     for a, b in EDGE_CORNERS:
         d = np.abs(CORNER_OFFSETS[b] - CORNER_OFFSETS[a])
         assert d.sum() == 1
+
+
+def test_device_weld_bit_identical():
+    """weld_backend='device' (round 5: sort/unique/compaction on device,
+    only the final mesh crosses to host) must match the host weld bit for
+    bit — points, triangles, normals, with and without a grid matrix."""
+    import numpy as np
+
+    from cudadepthmapintegration_tpu.ops.marching_cubes import marching_cubes
+
+    dim = 24
+    ax = np.linspace(-1.2, 1.2, dim, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(ax, ax, ax, indexing="ij")
+    vol = 1.0 - np.sqrt(xx * xx + yy * yy + zz * zz)
+    mat = np.eye(4)
+    mat[:3, :3] = [[0, -1, 0], [1, 0, 0], [0, 0, 1]]
+    mat[:3, 3] = [0.1, -0.2, 0.3]
+    for matrix in (None, mat):
+        a = marching_cubes(vol, 0.0, ax, ax, ax, matrix=matrix,
+                           backend="jax", compute_normals=True,
+                           weld_backend="host")
+        b = marching_cubes(vol, 0.0, ax, ax, ax, matrix=matrix,
+                           backend="jax", compute_normals=True,
+                           weld_backend="device")
+        np.testing.assert_array_equal(b.points, a.points)
+        np.testing.assert_array_equal(b.triangles, a.triangles)
+        np.testing.assert_array_equal(
+            b.point_data["Normals"], a.point_data["Normals"])
+        assert b.points.dtype == a.points.dtype
