@@ -340,18 +340,21 @@ def gather_colors_pallas(
         wr=int(min(window_rows, hp_s)),
         n_wc=int(n_wc), n_k=int(n_k), z_test=bool(z_test),
     )  # (ntb, V, 3, tb*sj, 128)
-    out = np.asarray(out)
-    flat = [
-        out[:, :, i].transpose(1, 0, 2, 3).reshape(nv, nt * tile)[:, :n]
-        for i in range(3)
-    ]
+    # Post-process ON DEVICE (round 5): the round-2..4 path downloaded the
+    # PADDED fp32 kernel output (4x the sample bytes) and un-Mortoned on
+    # host; now the transpose/compact/un-permute are jnp ops and the
+    # device-resident uint8 samples + bool mask are returned — callers
+    # that reduce on device (colorize_points) never move raw samples over
+    # the host link. np.asarray on the returns reproduces the old arrays
+    # bit for bit.
+    flat = out.transpose(2, 1, 0, 3, 4).reshape(3, nv, nt * tile)[:, :, :n]
     valid = flat[0] >= 0.0
-    samples = np.stack(
-        [np.maximum(f, 0.0) for f in flat], axis=-1
-    ).astype(np.uint8)
+    samples = jnp.clip(flat, 0.0, None).astype(jnp.uint8)
+    samples = jnp.transpose(samples, (1, 2, 0))  # (V, n, 3)
     if order is not None:
         inv = np.empty_like(order)
         inv[order] = np.arange(n)
-        samples = samples[:, inv]
-        valid = valid[:, inv]
+        inv_d = jnp.asarray(inv)
+        samples = jnp.take(samples, inv_d, axis=1)
+        valid = jnp.take(valid, inv_d, axis=1)
     return samples, valid

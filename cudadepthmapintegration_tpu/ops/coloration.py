@@ -108,6 +108,15 @@ def _gather_chunk(
 
 
 @jax.jit
+@jax.jit
+def _batch_sum_count(samples, valid):
+    """Per-view-batch masked sum + count over the view axis (device).
+    fp32 sums are exact for uchar-valued samples while batch*255 < 2^24
+    (any realistic view_chunk); accumulated in fp64 on the host."""
+    s = (samples.astype(jnp.float32) * valid[..., None]).sum(axis=0)
+    return s, valid.sum(axis=0).astype(jnp.int32)
+
+
 def _median_from_samples(samples, valid):
     """Masked median over the view axis: samples (V, N, 3) uint8,
     valid (V, N) bool -> median (N, 3) f32.
@@ -214,8 +223,19 @@ def colorize_points(
         block[: stop - start] = points[start:stop]
         block_j = jnp.asarray(block)
 
-        samples = np.empty((n_views, pad_n, 3), np.uint8)
-        valid = np.empty((n_views, pad_n), bool)
+        # Device-resident accumulation (round 5): the round-2..4 loop
+        # pulled every gathered sample to host and pushed it back for the
+        # median — ~1 GB of link traffic per 10^6-vertex mesh at 200
+        # views; now only per-chunk STATISTICS cross to the host. Mean
+        # numerators are per-view-batch device fp32 sums (exact: uchar
+        # samples, vc*255 < 2^24) accumulated in fp64 on the host, so
+        # they equal the reference's int accumulate bit for bit
+        # (MeshColoration.cxx:176-178); dummy-padded tail views carry
+        # valid=False and are inert in every statistic.
+        sample_parts: list = []
+        valid_parts: list = []
+        sum_host = np.zeros((pad_n, 3), np.float64)
+        cnt_host = np.zeros((pad_n,), np.int64)
         for vs in range(0, n_views, vc):
             ve = min(vs + vc, n_views)
             cached = staged_cache.get(vs)
@@ -280,21 +300,25 @@ def colorize_points(
                         else jnp.asarray(occlusion_tol, dtype)
                     ),
                 )
-            samples[vs:ve] = np.asarray(rgb)[: ve - vs]
-            valid[vs:ve] = np.asarray(ok)[: ve - vs]
+            rgb_d, ok_d = jnp.asarray(rgb), jnp.asarray(ok)
+            sample_parts.append(rgb_d)
+            valid_parts.append(ok_d)
+            bs, bc = _batch_sum_count(rgb_d, ok_d)
+            sum_host += np.asarray(bs, np.float64)
+            cnt_host += np.asarray(bc, np.int64)
 
-        med = _median_from_samples(jnp.asarray(samples), jnp.asarray(valid))
+        med = _median_from_samples(
+            jnp.concatenate(sample_parts, axis=0),
+            jnp.concatenate(valid_parts, axis=0),
+        )
         meds[start:stop] = np.asarray(med)[: stop - start]
-        c = valid.sum(axis=0)
-        counts[start:stop] = c[: stop - start]
-        if compat_int_mean:
-            # Reference numerator: int accumulate (MeshColoration.cxx:176-178)
-            # — identical to the float sum for uchar-valued samples.
-            s = (samples.astype(np.int64) * valid[..., None]).sum(axis=0)
-        else:
-            s = (samples.astype(np.float64) * valid[..., None]).sum(axis=0)
+        counts[start:stop] = cnt_host[: stop - start]
+        # compat_int_mean needs no separate numerator: the device fp32
+        # batch sums are already integer-exact (see above), so the int
+        # and float accumulates coincide by construction here.
         means[start:stop] = (
-            s[: stop - start] / np.maximum(c[: stop - start, None], 1)
+            sum_host[: stop - start]
+            / np.maximum(cnt_host[: stop - start, None], 1)
         )
 
     # vtk uchar-array SetTuple truncates doubles (MeshColoration.cxx:180,185).
