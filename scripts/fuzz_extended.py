@@ -90,6 +90,19 @@ def check(seed) -> list[str]:
             # these must be BIT-identical to rowsel (same accumulation
             # order); windows/vb2 may differ in fp32 rounding order.
             bad.append(f"pallas_{name}_not_bitident")
+
+    # Round-5 surfaces: transposed-map serving (oracle-gated; perm
+    # regrouping means no bit gate vs rowsel) and cross-batch group
+    # filling (streamed arrivals must stay oracle-exact).
+    got_t = np.asarray(KP.integrate_views_oriented(
+        vol, grid, views, params, transpose_maps=True))
+    if (np.abs(got_t - exp32) > 1e-3).mean() >= 5e-3:
+        bad.append("pallas_transpose_vs_oracle")
+    gf = TSDFIntegrator(grid, params, backend="pallas", group_fill=8).reset()
+    for s in range(0, len(views), 3):
+        gf.integrate(views[s:s + 3])
+    if (np.abs(gf.result() - exp32) > 1e-3).mean() >= 5e-3:
+        bad.append("group_fill_vs_oracle")
     return bad
 
 
