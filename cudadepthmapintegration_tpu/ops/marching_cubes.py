@@ -402,15 +402,23 @@ def extract_isosurface(
     cell_volume: np.ndarray | jax.Array,
     iso: float,
     compute_normals: bool = True,
+    backend: str = "auto",
+    weld_backend: str = "host",
 ) -> PolyData:
     """Full reference pipeline: cell->point averaging, contour at `iso`
     (with gradient "Normals" — vtkContourFilter's ComputeNormals default),
-    grid-matrix transform (``Reconstruction/main.cxx:150-189``)."""
+    grid-matrix transform (``Reconstruction/main.cxx:150-189``).
+    ``backend``/``weld_backend`` pass through to :func:`marching_cubes`
+    ('auto' picks the native C++ walker when built — the fast HOST path;
+    backend='jax' + weld_backend='device' keeps extraction on device so
+    only the final mesh crosses the host link)."""
     pv = cell_to_point(jnp.asarray(cell_volume))
     xs, ys, zs = grid.point_axes(pv.dtype)
     mesh = marching_cubes(
         pv, iso, xs, ys, zs, matrix=grid.matrix,
+        backend=backend,
         compute_normals=compute_normals,
+        weld_backend=weld_backend,
     )
     # vtkContourFilter's ComputeScalars default is also ON: the output
     # carries the contoured scalars (== iso at every crossing) under the

@@ -332,11 +332,12 @@ def fuse(n_views, dims, w=512, h=512, mode="rowsel3", checkpoint_mid=None,
         flush=True,
     )
     if mesh and not os.environ.get("CAPSTONE_SKIP_MESH"):
-        # Mesh a central crop ON DEVICE (round 5: the MC compaction runs on
-        # chip, so only the compacted soup crosses the tunnel — the r4 path
-        # downloaded the 512^3 crop, ~537 MB at ~6 MB/s, before meshing).
-        # Normals stay off here: they are the one host-side stage and would
-        # re-download the crop (pipeline_e2e.py times them separately).
+        # Mesh a central crop ON DEVICE (round 5: backend='jax' + device
+        # welding — compaction AND welding run on chip, so only the final
+        # mesh crosses the tunnel; backend='auto' would pick the native
+        # C++ walker, which needs the 512^3 crop on host first, ~537 MB
+        # over this rig's link). Normals stay off here: they are the one
+        # host-side stage (pipeline_e2e.py times them separately).
         c0 = (dims - 1) // 4
         crop = vol[c0 : 3 * c0, c0 : 3 * c0, c0 : 3 * c0]
         sub = VoxelGrid(
@@ -344,7 +345,10 @@ def fuse(n_views, dims, w=512, h=512, mode="rowsel3", checkpoint_mid=None,
             origin=tuple(np.array(grid.origin) + c0 * np.array(grid.spacing)),
             spacing=grid.spacing,
         )
-        m = extract_isosurface(sub, crop, iso=1.0, compute_normals=False)
+        t_mc = time.time()
+        m = extract_isosurface(sub, crop, iso=1.0, compute_normals=False,
+                               backend="jax", weld_backend="device")
+        print(f"  device MC: {time.time() - t_mc:.1f}s", flush=True)
         r = np.linalg.norm(m.points, axis=1)
         print(
             f"central-crop mesh: {m.num_triangles} tris, "

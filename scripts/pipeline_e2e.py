@@ -119,9 +119,12 @@ def main():
                   spacing=grid.spacing, compress=True)
 
     with phase("marching_cubes"):
+        # backend='jax' forces the DEVICE compaction path (auto would pick
+        # the native C++ walker over the host copy cached by volume_d2h —
+        # also fast, but this times the TPU-resident extraction).
         xs, ys, zs = grid.point_axes(np.float32)
         soup_verts, soup_keys = marching_cubes(
-            pv_dev, 1.0, xs, ys, zs, _return_soup=True)
+            pv_dev, 1.0, xs, ys, zs, backend="jax", _return_soup=True)
         mesh, uniq = _weld_triangle_soup(soup_verts, soup_keys, grid.matrix,
                                          return_keys=True)
     print(f"  mesh: {mesh.num_points} pts, {mesh.num_triangles} tris",
