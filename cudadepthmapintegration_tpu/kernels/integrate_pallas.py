@@ -2270,21 +2270,29 @@ class OrientedFusionPlan:
         if staged is None:
             staged = []
             for g in self.groups:
-                depths = np.asarray(g["depths"])
+                # Upload the RAW depth maps once per plan (cached per
+                # group); pad + 3-plane split run ON DEVICE, so a staged
+                # (ph, pw, split3) variant costs no additional host-link
+                # bytes (the round-2..4 path padded/split on host and
+                # uploaded up to 3x the raw bytes per variant). The device
+                # split is exact — optimization_barrier'd, pinned by
+                # test_split_depth_planes_device_matches_host.
+                d = g.get("depths_dev")
+                if d is None:
+                    d = g["depths_dev"] = jnp.asarray(g["depths"])
                 if ph or pw:
-                    depths = np.pad(
-                        depths, ((0, 0), (0, ph), (0, pw)),
-                        constant_values=-1.0,
+                    d = jnp.pad(
+                        d, ((0, 0), (0, ph), (0, pw)), constant_values=-1.0
                     )
                 if split3:
-                    depths = split_depth_planes(depths)  # (G, 3, hp, wp)
+                    d = split_depth_planes(d)  # (G, 3, hp, wp)
                 staged.append(
                     (
                         g["tx"],
                         jnp.transpose(g["ty"], (0, 2, 1)),
                         jnp.transpose(g["tz"], (2, 0, 1)),
                         g["tc"],
-                        jnp.asarray(depths),
+                        d,
                     )
                 )
             self._staged_cache[staged_key] = staged
