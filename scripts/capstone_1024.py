@@ -340,6 +340,12 @@ def fuse(n_views, dims, w=512, h=512, mode="rowsel3", checkpoint_mid=None,
         # host-side stage (pipeline_e2e.py times them separately).
         c0 = (dims - 1) // 4
         crop = vol[c0 : 3 * c0, c0 : 3 * c0, c0 : 3 * c0]
+        crop.block_until_ready()
+        # Free the full fused volume before device meshing: at 1024^3 the
+        # 4.3 GB volume + the crop + the extraction buffers exceed HBM
+        # (measured OOM by 579 MB, 2026-08-20); only the crop is needed
+        # from here on.
+        del vol
         sub = VoxelGrid(
             dims=(2 * c0 + 1,) * 3,
             origin=tuple(np.array(grid.origin) + c0 * np.array(grid.spacing)),
