@@ -342,18 +342,34 @@ def marching_cubes(
         jnp.arange(pad) < n_active, jnp.take(cfg_dev.reshape(-1), flat_idx), 0
     ).astype(jnp.int32)
 
-    verts, keys, valid = _active_cell_triangles(
-        pv.reshape(-1),
-        jnp.asarray(iso, pv.dtype),
-        cell_idx,
-        cfg_active,
-        jnp.asarray(xs, pv.dtype),
-        jnp.asarray(ys, pv.dtype),
-        jnp.asarray(zs, pv.dtype),
-        nx=int(nx),
-        ny=int(ny),
-        nz=int(nz),
-    )
+    # Emit triangles in fixed-size active-cell chunks: the un-fused temps
+    # of one _active_cell_triangles call scale with the padded cell count
+    # (measured: the 2M-cell program alone plans 16.31 G of HBM and fails
+    # AOT compile on a 16 G chip); 256k-cell calls bound it to ~2 G, and
+    # concatenation preserves cell order so the soup — and the welded
+    # mesh — is bit-identical to the single-call path.
+    cell_chunk = 1 << 18
+    pvf = pv.reshape(-1)
+    iso_d = jnp.asarray(iso, pv.dtype)
+    xs_d = jnp.asarray(xs, pv.dtype)
+    ys_d = jnp.asarray(ys, pv.dtype)
+    zs_d = jnp.asarray(zs, pv.dtype)
+    dims_kw = dict(nx=int(nx), ny=int(ny), nz=int(nz))
+    if pad <= cell_chunk:
+        verts, keys, valid = _active_cell_triangles(
+            pvf, iso_d, cell_idx, cfg_active, xs_d, ys_d, zs_d, **dims_kw
+        )
+    else:
+        parts = [
+            _active_cell_triangles(
+                pvf, iso_d, cell_idx[s : s + cell_chunk],
+                cfg_active[s : s + cell_chunk], xs_d, ys_d, zs_d, **dims_kw
+            )
+            for s in range(0, pad, cell_chunk)
+        ]
+        verts = jnp.concatenate([p[0] for p in parts])
+        keys = jnp.concatenate([p[1] for p in parts])
+        valid = jnp.concatenate([p[2] for p in parts])
     # Phase 2 (device soup compaction): keep only emitted triangle slots.
     valid_flat = valid.reshape(-1)
     n_soup = int(valid_flat.sum())
