@@ -135,6 +135,11 @@ def _active_cell_triangles(
     return verts, keys, valid
 
 
+# Active cells per _active_cell_triangles call (see the chunked emission
+# in marching_cubes); module-level so tests can force multi-chunk runs.
+CELL_CHUNK = 1 << 18
+
+
 def _pad_to(n: int, minimum: int = 512) -> int:
     """Next power of two (>= minimum): bounds the number of jit variants."""
     return max(minimum, 1 << (n - 1).bit_length())
@@ -348,7 +353,7 @@ def marching_cubes(
     # AOT compile on a 16 G chip); 256k-cell calls bound it to ~2 G, and
     # concatenation preserves cell order so the soup — and the welded
     # mesh — is bit-identical to the single-call path.
-    cell_chunk = 1 << 18
+    cell_chunk = CELL_CHUNK
     pvf = pv.reshape(-1)
     iso_d = jnp.asarray(iso, pv.dtype)
     xs_d = jnp.asarray(xs, pv.dtype)

@@ -164,3 +164,28 @@ def test_device_weld_bit_identical():
         np.testing.assert_array_equal(
             b.point_data["Normals"], a.point_data["Normals"])
         assert b.points.dtype == a.points.dtype
+
+
+def test_chunked_cell_emission_bit_identical():
+    """Active cells are emitted in CELL_CHUNK-sized calls (a single call's
+    un-fused temps OOM'd the 16 G chip at a 2M-cell pad); forcing many tiny
+    chunks must reproduce the single-call mesh bit for bit."""
+    import numpy as np
+
+    import importlib
+
+    M = importlib.import_module("cudadepthmapintegration_tpu.ops.marching_cubes")
+
+    dim = 28
+    ax = np.linspace(-1.2, 1.2, dim, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(ax, ax, ax, indexing="ij")
+    vol = 1.0 - np.sqrt(xx * xx + yy * yy + zz * zz)
+    a = M.marching_cubes(vol, 0.0, ax, ax, ax, backend="jax")
+    old = M.CELL_CHUNK
+    M.CELL_CHUNK = 512  # force the multi-chunk path
+    try:
+        b = M.marching_cubes(vol, 0.0, ax, ax, ax, backend="jax")
+    finally:
+        M.CELL_CHUNK = old
+    np.testing.assert_array_equal(b.points, a.points)
+    np.testing.assert_array_equal(b.triangles, a.triangles)
