@@ -26,9 +26,12 @@ Reference semantics preserved exactly:
   (``std::accumulate(..., 0)`` — ``MeshColoration.cxx:176-178``), truncating
   per addition; then vtk's SetTuple3 into a uchar array truncates the mean.
   For uchar-valued samples per-addition truncation is lossless (sums stay
-  exact in f32 up to 2^24), so the default float mean + final floor is
-  bit-equal; ``compat_int_mean=True`` forces the reference's int32 numerator
-  anyway, for bit-parity on any hypothetical non-integer input.
+  exact in f32 up to 2^24), so the float mean + final floor is bit-equal.
+  Since round 5 the numerators are per-view-batch device fp32 sums —
+  integer-exact by the same bound — accumulated in fp64 on the host, so
+  the int and float accumulates coincide by construction and
+  ``compat_int_mean`` is accepted as a no-op (kept for CLI compatibility;
+  samples are uchar by format, so no input can split the two).
 * ``MedianColoration``: sort + middle; even counts average the two middle
   values (``Sources/Helper.h:174-187``), then truncate to uint8.
 * ``NbProjectedDepthMap``: int count of in-bounds projections.
