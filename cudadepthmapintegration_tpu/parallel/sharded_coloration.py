@@ -58,8 +58,17 @@ def sharded_colorize_points(
     pts_sh = jax.device_put(pts, vert_sh)
 
     vc = min(view_chunk, n_views)
-    samples = np.empty((n_views, n + pad, 3), np.uint8)
-    valid = np.empty((n_views, n + pad), bool)
+    # Device-resident accumulation (round 5, mirrors ops/coloration.py):
+    # gathered samples stay SHARDED on device — the old loop pulled every
+    # block to host and re-uploaded it for the median. Mean numerators are
+    # per-view-batch device fp32 sums (integer-exact for uchar samples)
+    # accumulated in fp64 on host; only per-batch statistics and the final
+    # median cross the host link.
+    from ..ops.coloration import _batch_sum_count
+
+    sample_parts, valid_parts = [], []
+    sum_host = np.zeros((n + pad, 3), np.float64)
+    cnt_host = np.zeros((n + pad,), np.int64)
     for vs in range(0, n_views, vc):
         ve = min(vs + vc, n_views)
         batch = [views[i] for i in range(vs, ve)]
@@ -73,17 +82,19 @@ def sharded_colorize_points(
             ),
             h=int(h), w=int(w), z_test=z_test,
         )
-        samples[vs:ve] = np.asarray(rgb)
-        valid[vs:ve] = np.asarray(ok)
+        sample_parts.append(rgb)
+        valid_parts.append(ok)
+        bs, bc = _batch_sum_count(rgb, ok)
+        sum_host += np.asarray(bs, np.float64)
+        cnt_host += np.asarray(bc, np.int64)
 
     med = _median_from_samples(
-        jax.device_put(samples, NamedSharding(mesh, P(None, all_axes, None))),
-        jax.device_put(valid, NamedSharding(mesh, P(None, all_axes))),
+        jnp.concatenate(sample_parts, axis=0),
+        jnp.concatenate(valid_parts, axis=0),
     )
     med = np.asarray(med)[:n]
-    c = valid.sum(axis=0)[:n]
-    s = (samples.astype(np.float64) * valid[..., None]).sum(axis=0)[:n]
-    mean = s / np.maximum(c[:, None], 1)
+    c = cnt_host[:n]
+    mean = sum_host[:n] / np.maximum(c[:, None], 1)
     mean_u8 = np.clip(mean, 0, 255).astype(np.uint8)
     med_u8 = np.clip(med, 0, 255).astype(np.uint8)
     return mean_u8, med_u8, c.astype(np.int32)
