@@ -66,3 +66,22 @@ def test_deadline_truncates_and_still_emits():
     assert rec["value"] == 0
     assert rec["truncated"][0] == "pallas_512"
     assert len(rec["truncated"]) == 9  # every phase listed, none silently lost
+
+
+def test_first_op_stall_budget_spares_slow_warmup():
+    """A slow first device op (round-5: 886 s session setup observed) must
+    NOT be declared a wedge: the warm-up runs under STALL_FIRST_S, the
+    watchdog threshold drops to BENCH_STALL_S only afterwards, and the
+    phase deadline clock starts post-warm-up. Simulated: warm-up sleeps
+    8 s with a 4 s wedge threshold — old behavior would emit the wedge
+    record; now the run proceeds to the (deadline-0-truncated) exit."""
+    proc = _run_bench(
+        {"BENCH_SIMULATE_SLOW_WARMUP": "8", "BENCH_STALL_S": "4",
+         "BENCH_STALL_FIRST_S": "60", "BENCH_DEADLINE_S": "0"},
+        timeout=150,
+    )
+    rec = _parse_single_json_line(proc.stdout)
+    assert proc.returncode == 1  # truncated-everything exit, NOT wedge rc=2
+    assert "error" not in rec
+    assert rec["truncated"][0] == "pallas_512"
+    assert "device warm-up op done" in proc.stderr
